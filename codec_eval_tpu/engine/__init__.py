@@ -1,0 +1,29 @@
+"""L2 evaluation engine: sessions, reports, batched device scoring."""
+
+from .helpers import assert_perception_level, assert_quality, evaluate_single
+from .image import ImageData
+from .report import CodecResult, CorpusReport, ImageReport
+from .scoring import BatchScorer
+from .session import (
+    DEFAULT_QUALITY_LEVELS,
+    EncodeRequest,
+    EvalConfig,
+    EvalConfigBuilder,
+    EvalSession,
+)
+
+__all__ = [
+    "assert_perception_level",
+    "assert_quality",
+    "evaluate_single",
+    "ImageData",
+    "CodecResult",
+    "CorpusReport",
+    "ImageReport",
+    "BatchScorer",
+    "DEFAULT_QUALITY_LEVELS",
+    "EncodeRequest",
+    "EvalConfig",
+    "EvalConfigBuilder",
+    "EvalSession",
+]

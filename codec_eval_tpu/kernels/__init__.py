@@ -1,0 +1,31 @@
+"""L0 metric kernels: pure JAX/XLA/Pallas compute (SURVEY.md §7 L0k)."""
+
+from .color import (
+    linear_rgb_to_xyb,
+    linear_to_srgb,
+    srgb_to_linear,
+    srgb_u8_to_linear,
+    xyb_roundtrip,
+    xyb_to_linear_rgb,
+)
+from .psnr import psnr
+from .ssimulacra2 import (
+    Ssimulacra2Reference,
+    precompute_reference,
+    ssimulacra2,
+    ssimulacra2_batch,
+)
+
+__all__ = [
+    "linear_rgb_to_xyb",
+    "linear_to_srgb",
+    "srgb_to_linear",
+    "srgb_u8_to_linear",
+    "xyb_roundtrip",
+    "xyb_to_linear_rgb",
+    "psnr",
+    "Ssimulacra2Reference",
+    "precompute_reference",
+    "ssimulacra2",
+    "ssimulacra2_batch",
+]

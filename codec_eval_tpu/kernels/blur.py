@@ -1,0 +1,93 @@
+"""Separable Gaussian blur + 2x2 box downsample as XLA-friendly JAX kernels.
+
+These are the workhorse ops under every perceptual metric (SSIMULACRA2's
+multi-scale moments, Butteraugli's frequency bands).  Layout convention is
+planar ``(C, H, W)`` so the image width rides the TPU lane dimension; the
+channel axis doubles as a fusion axis — callers stack every plane that needs
+the same blur (mu/sigma moments of both images) into one ``C`` so a single
+conv pass computes all windowed moments (SURVEY.md §7 step 8).
+
+Equivalent behavior in the reference lives inside the external ``fast-ssim2``
+/ ``butteraugli`` crates (reference: src/metrics/ssimulacra2.rs:96,
+src/metrics/butteraugli.rs:70-80); there it is recursive-IIR SIMD code.  On
+TPU a truncated FIR Gaussian maps better: it is a dense, static-shape conv
+that XLA tiles onto the vector/matrix units, while an IIR scan would serialize
+the sublane dimension.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def gaussian_taps(sigma: float, radius: int | None = None) -> np.ndarray:
+    """Normalized 1-D Gaussian taps.
+
+    Radius defaults to 6*sigma (tail mass < 1e-8), matching the effective
+    support of the reference's recursive Gaussian to well below metric
+    tolerance.
+    """
+    if radius is None:
+        radius = max(1, int(math.ceil(6.0 * sigma)))
+    n = np.arange(-radius, radius + 1, dtype=np.float64)
+    taps = np.exp(-0.5 * (n / sigma) ** 2)
+    taps /= taps.sum()
+    return taps.astype(np.float32)
+
+
+def blur_separable(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Gaussian-blur a stack of planes ``(C, H, W)`` with zero-padded borders.
+
+    Zero boundary extension mirrors the reference kernels' recursive filters,
+    which treat samples outside the image as zero.
+    """
+    taps = jnp.asarray(gaussian_taps(sigma))
+    k = taps.shape[0]
+    c, h, w = planes.shape
+    x = planes[:, None, :, :]  # (C, 1, H, W) — C as conv batch
+    kern_h = taps.reshape(1, 1, k, 1)
+    kern_w = taps.reshape(1, 1, 1, k)
+    dn = jax.lax.conv_dimension_numbers(x.shape, kern_h.shape, ("NCHW", "OIHW", "NCHW"))
+    pad = k // 2
+    # Precision.HIGHEST keeps the conv in true f32 on the MXU (default would
+    # drop inputs to bf16 — unacceptable for metric math).
+    x = jax.lax.conv_general_dilated(
+        x,
+        kern_h,
+        (1, 1),
+        [(pad, pad), (0, 0)],
+        dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    x = jax.lax.conv_general_dilated(
+        x,
+        kern_w,
+        (1, 1),
+        [(0, 0), (pad, pad)],
+        dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return x[:, 0, :, :]
+
+
+def downscale_by_2(planes: jnp.ndarray) -> jnp.ndarray:
+    """2x2 box downscale with edge-clamped odd borders, on ``(C, H, W)``.
+
+    Matches the reference metric's pyramid step: output size is ceil(n/2) and
+    out-of-range source taps clamp to the last row/column (SURVEY.md §2.4 —
+    fast-ssim2 half-res pyramid).
+    """
+    c, h, w = planes.shape
+    ph, pw = h % 2, w % 2
+    if ph or pw:
+        planes = jnp.pad(planes, ((0, 0), (0, ph), (0, pw)), mode="edge")
+    _, h2, w2 = planes.shape
+    return (
+        planes.reshape(c, h2 // 2, 2, w2 // 2, 2).mean(axis=(2, 4))
+    )
