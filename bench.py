@@ -1,0 +1,105 @@
+"""Benchmark: SSIMULACRA2 scoring throughput at 800px (the north-star metric
+from BASELINE.md: images/sec/chip, dense-sweep shape).
+
+Scenario mirrors the reference's hot loop (crates/codec-iter/src/eval.rs:
+133-170): one source image's reference pyramid is precomputed once, then a
+dense sweep of 25 distorted candidates is scored against it.  Here the whole
+sweep is one fused, jitted batch on the accelerator.
+
+Baseline: the reference's own accelerator path is CUDA fast-ssim2 at ~4x its
+CPU speed (crates/codec-iter/src/main.rs:70).  From the published quick-eval
+envelope (~360 ms for 9 512px encode+score iterations, README.md:96) the CPU
+scorer is ~25 ms/pair at 512px => ~61 ms at 800px => ~16 img/s CPU, ~65
+img/s with CUDA.  vs_baseline is measured against the 65 img/s accelerator
+figure.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMAGES_PER_SEC = 65.0  # reference CUDA ssimulacra2 at 800px (see above)
+SIZE = 800
+SWEEP = 25  # dense quality preset: (50..=98).step_by(2)
+
+
+def _photo(h, w, seed):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = (
+        118
+        + 68 * np.sin(x / 13.0)
+        + 52 * np.cos(y / 9.0)
+        + 24 * np.sin((x + y) / 31.0)
+    )
+    img = np.stack([base, base * 0.88 + 12, base * 0.74 + 26], -1)
+    img = img + rng.normal(0, 7, img.shape)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from codec_eval_tpu.kernels.ssimulacra2 import (
+        features_against_reference,
+        precompute_reference,
+        score_from_features,
+    )
+
+    ref = _photo(SIZE, SIZE, 0)
+    rng = np.random.default_rng(1)
+    dists = np.stack(
+        [
+            np.clip(
+                ref.astype(np.int16) + rng.integers(-q // 4 - 2, q // 4 + 3, ref.shape),
+                0,
+                255,
+            ).astype(np.uint8)
+            for q in range(SWEEP)
+        ]
+    )
+
+    @jax.jit
+    def sweep(ref_u8, batch_u8):
+        pre = precompute_reference(ref_u8)
+        return jax.vmap(
+            lambda d: score_from_features(features_against_reference(pre, d))
+        )(batch_u8)
+
+    ref_d = jnp.asarray(ref)
+    dists_d = jnp.asarray(dists)
+
+    # Warmup / compile.
+    jax.block_until_ready(sweep(ref_d, dists_d))
+
+    # Steady-state: several full sweeps.
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = sweep(ref_d, dists_d)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = reps * SWEEP / dt
+    print(
+        json.dumps(
+            {
+                "metric": "ssimulacra2_images_per_sec_800px",
+                "value": round(images_per_sec, 2),
+                "unit": "img/s/chip",
+                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Device-mesh sharding for corpus-scale scoring.
+
+The TPU-native replacement for the reference's process parallelism (rayon
+fan-out over images, rd_calibrate.rs:184-216; one optional CUDA stream,
+gpu.rs): the (image x codec x quality) score grid is laid out as a batch of
+decoded pairs, sharded over a ``jax.sharding.Mesh``, and scored SPMD.  Corpus
+aggregates (the mean R-D curve that rd-calibrate computes on the host) come
+back via on-device ``psum`` over ICI rather than host-side reduction.
+
+Two mesh axes:
+
+- ``batch``: data parallelism over pairs (the dominant axis; each device
+  scores its shard of the grid).
+- ``space``: optional spatial sharding over image rows for images too large
+  for one device's share of HBM/VMEM.  The metric pipelines are convolutions
+  and elementwise maps, so XLA's SPMD partitioner inserts the halo exchanges
+  automatically — no hand-written collectives needed (the scaling-book
+  recipe: annotate shardings, let XLA place collectives on ICI).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_batch: Optional[int] = None, n_space: int = 1, devices=None
+) -> Mesh:
+    """Build a (batch, space) mesh over the available devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_batch is None:
+        n_batch = len(devices) // n_space
+    assert n_batch * n_space <= len(devices), (
+        f"mesh {n_batch}x{n_space} needs {n_batch * n_space} devices, "
+        f"have {len(devices)}"
+    )
+    dev_array = np.array(devices[: n_batch * n_space]).reshape(n_batch, n_space)
+    return Mesh(dev_array, axis_names=("batch", "space"))
+
+
+def pair_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """Sharding for a (N, H, W, 3) batch of images: N over 'batch', and
+    optionally H over 'space'."""
+    return NamedSharding(mesh, P("batch", "space" if spatial else None, None, None))
+
+
+def scalar_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("batch"))
+
+
+def sharded_score_fn(
+    mesh: Mesh,
+    dssim: bool = True,
+    ssimulacra2: bool = True,
+    butteraugli: bool = True,
+    psnr: bool = True,
+    spatial: bool = False,
+):
+    """Build a jitted SPMD scoring step over the mesh.
+
+    Returns ``step(refs, dists) -> dict`` where refs/dists are (N, H, W, 3)
+    u8 batches (N divisible by the batch-axis size).  Output contains
+    per-pair scores (sharded) and corpus-mean aggregates (replicated,
+    reduced on-device via the mesh's ICI collectives).
+    """
+    from ..kernels.color import srgb_u8_to_linear
+    from ..kernels.dssim import dssim as dssim_kernel
+    from ..kernels.butteraugli import butteraugli as ba_kernel
+    from ..kernels.psnr import psnr as psnr_kernel
+    from ..kernels.ssimulacra2 import ssimulacra2 as s2_kernel
+
+    in_sharding = pair_sharding(mesh, spatial=spatial)
+    out_sharding = scalar_sharding(mesh)
+    replicated = NamedSharding(mesh, P())
+
+    def score_one(ref, dist):
+        out = {}
+        if psnr:
+            out["psnr"] = psnr_kernel(ref, dist)
+        if ssimulacra2:
+            out["ssimulacra2"] = s2_kernel(ref, dist)
+        if dssim:
+            out["dssim"] = dssim_kernel(
+                srgb_u8_to_linear(ref), srgb_u8_to_linear(dist)
+            )
+        if butteraugli:
+            out["butteraugli"] = ba_kernel(ref, dist)
+        return out
+
+    def step(refs: jnp.ndarray, dists: jnp.ndarray):
+        per_pair = jax.vmap(score_one)(refs, dists)
+        aggregates = {f"mean_{k}": jnp.mean(v) for k, v in per_pair.items()}
+        return per_pair, aggregates
+
+    out_shardings = (
+        {
+            k: out_sharding
+            for k in ["psnr", "ssimulacra2", "dssim", "butteraugli"]
+            if {"psnr": psnr, "ssimulacra2": ssimulacra2, "dssim": dssim,
+                "butteraugli": butteraugli}[k]
+        },
+        None,
+    )
+
+    return jax.jit(
+        step,
+        in_shardings=(in_sharding, in_sharding),
+        out_shardings=out_shardings,
+    )
+
+
+def shard_batch(mesh: Mesh, batch: np.ndarray, spatial: bool = False) -> jax.Array:
+    """Place a host (N, H, W, 3) batch onto the mesh with pair sharding."""
+    return jax.device_put(batch, pair_sharding(mesh, spatial=spatial))
+
+
+__all__ = [
+    "make_mesh",
+    "pair_sharding",
+    "scalar_sharding",
+    "sharded_score_fn",
+    "shard_batch",
+]

@@ -21,6 +21,12 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# The image's sitecustomize imports jax and registers the TPU plugin before
+# this file runs, so env vars alone are too late — force the CPU platform
+# through the config API (it takes effect at backend init, which hasn't
+# happened yet).
+jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: the metric pipelines compile a conv pyramid
 # per image-shape bucket; caching makes test reruns fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
