@@ -1,0 +1,183 @@
+"""codec-iter: sub-second encoder iteration CLI.
+
+Behavioral port of reference: crates/codec-iter/src/main.rs:31-449 —
+``eval`` / ``sweep`` / ``baseline {save,show}`` subcommands, quality presets
+(quick=[75,85,95], standard=8 points, dense=50..98 step 2), result tables
+with delta-vs-baseline columns and the scalar pareto score, and automatic
+baseline save on first run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+from ..errors import CodecEvalError
+from ..iter.baseline import (
+    compare_with_baseline,
+    load_baseline,
+    make_baseline,
+    save_baseline,
+)
+from ..iter.codecs import AVIF_PRESETS, AvifIterConfig, JpegIterConfig, build_codec
+from ..iter.eval import run_eval
+from ..iter.source import load_sources
+from ..iter.sweep import print_sweep, run_sweep
+
+QUALITY_PRESETS = {
+    "quick": [75, 85, 95],
+    "standard": [50, 60, 70, 75, 80, 85, 90, 95],
+    "dense": list(range(50, 99, 2)),
+}
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--corpus", type=Path, required=True, help="image directory")
+    p.add_argument("--limit", type=int, default=3, help="image count (tier select)")
+    p.add_argument(
+        "--preset", choices=sorted(QUALITY_PRESETS), default="quick",
+        help="quality ladder",
+    )
+    p.add_argument("--format", default="jpeg", help="jpeg|avif|webp")
+    p.add_argument("--subsampling", default="420")
+    p.add_argument("--baseline-dir", type=Path, default=Path("baselines"))
+    p.add_argument(
+        "--avif-preset", default="baseline", choices=sorted(AVIF_PRESETS)
+    )
+    p.add_argument("--no-progressive", action="store_true")
+
+
+def _print_eval(points, baseline) -> None:
+    """Result table with deltas.  reference: main.rs:297-380."""
+    if baseline is None:
+        print(f"\n{'q':>4} {'bpp':>8} {'ssim2':>8} {'bytes':>8} {'enc ms':>7}")
+        by_q = {}
+        for p in points:
+            by_q.setdefault(p.quality, []).append(p)
+        for q in sorted(by_q):
+            pts = by_q[q]
+            n = len(pts)
+            print(
+                f"{q:>4} {sum(p.bpp for p in pts) / n:>8.3f} "
+                f"{sum(p.ssim2 for p in pts) / n:>8.2f} "
+                f"{sum(p.size_bytes for p in pts) // n:>8} "
+                f"{sum(p.encode_ms for p in pts) // n:>7}"
+            )
+        return
+    rows = compare_with_baseline(points, baseline)
+    print(
+        f"\n{'q':>4} {'bpp':>8} {'ssim2':>8} {'Δbpp':>8} {'Δssim2':>8} {'pareto':>8}"
+    )
+    for r in rows:
+        print(
+            f"{r.quality:>4} {r.bpp:>8.3f} {r.ssim2:>8.2f} "
+            f"{r.delta_bpp:>+8.3f} {r.delta_ssim2:>+8.2f} {r.pareto:>+8.2f}"
+        )
+
+
+def cmd_eval(args) -> int:
+    qualities = QUALITY_PRESETS[args.preset]
+    images = load_sources(args.corpus, args.limit)
+    codec = build_codec(
+        args.format,
+        subsampling=args.subsampling,
+        progressive=not args.no_progressive,
+        preset=args.avif_preset,
+    )
+    print(f"eval: {codec.summary} on {len(images)} images x {len(qualities)} qualities")
+    result = run_eval(images, codec, qualities, progress=lambda s: print(f"  {s}"))
+    print(f"total: {result.total_ms} ms")
+
+    baseline = load_baseline(args.baseline_dir, codec.summary)
+    if baseline is None:
+        # Auto-save on first run.  reference: main.rs:424-439.
+        saved = save_baseline(
+            args.baseline_dir,
+            make_baseline(codec.summary, codec.summary, str(args.corpus), result.points),
+        )
+        print(f"baseline saved: {saved}")
+    _print_eval(result.points, baseline)
+    return 0
+
+
+def cmd_sweep(args) -> int:
+    qualities = QUALITY_PRESETS[args.preset]
+    images = load_sources(args.corpus, args.limit)
+    if args.format == "jpeg":
+        codecs = [
+            JpegIterConfig(subsampling=s, progressive=p).build()
+            for s in ("420", "444")
+            for p in (True, False)
+        ]
+    elif args.format == "avif":
+        codecs = [AvifIterConfig(preset=p).build() for p in sorted(AVIF_PRESETS)]
+    else:
+        codecs = [build_codec(args.format)]
+    result = run_sweep(images, codecs, qualities)
+    print_sweep(result)
+    return 0
+
+
+def cmd_baseline(args) -> int:
+    if args.baseline_cmd == "show":
+        baseline = load_baseline(args.baseline_dir, args.key)
+        if baseline is None:
+            print(f"no baseline '{args.key}' in {args.baseline_dir}")
+            return 1
+        print(f"baseline {args.key}: {len(baseline.points)} points, "
+              f"created {baseline.created_at}, corpus {baseline.corpus_path}")
+        _print_eval(baseline.points, None)
+        return 0
+    if args.baseline_cmd == "save":
+        qualities = QUALITY_PRESETS[args.preset]
+        images = load_sources(args.corpus, args.limit)
+        codec = build_codec(
+            args.format,
+            subsampling=args.subsampling,
+            progressive=not args.no_progressive,
+            preset=args.avif_preset,
+        )
+        result = run_eval(images, codec, qualities)
+        saved = save_baseline(
+            args.baseline_dir,
+            make_baseline(codec.summary, codec.summary, str(args.corpus), result.points),
+        )
+        print(f"baseline saved: {saved}")
+        return 0
+    raise ValueError(args.baseline_cmd)
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="codec-iter", description="fast encoder iteration (TPU-scored)"
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_eval = sub.add_parser("eval", help="evaluate one codec config")
+    _add_common(p_eval)
+    p_eval.set_defaults(fn=cmd_eval)
+
+    p_sweep = sub.add_parser("sweep", help="sweep codec configs")
+    _add_common(p_sweep)
+    p_sweep.set_defaults(fn=cmd_sweep)
+
+    p_base = sub.add_parser("baseline", help="manage baselines")
+    base_sub = p_base.add_subparsers(dest="baseline_cmd", required=True)
+    p_save = base_sub.add_parser("save")
+    _add_common(p_save)
+    p_show = base_sub.add_parser("show")
+    p_show.add_argument("key")
+    p_show.add_argument("--baseline-dir", type=Path, default=Path("baselines"))
+    p_base.set_defaults(fn=cmd_baseline)
+
+    args = parser.parse_args(argv)
+    try:
+        return args.fn(args)
+    except CodecEvalError as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

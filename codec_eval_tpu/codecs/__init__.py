@@ -1,0 +1,48 @@
+"""L6 codec adapters + comparison harness."""
+
+from .base import STANDARD_QUALITY_LEVELS, CodecImpl, codec_color
+from .compare import CompareAgainstAll, CompareResult
+from .pil_codecs import (
+    AvifCodec,
+    JpegCodec,
+    PngCodec,
+    UnavailableCodec,
+    WebPCodec,
+    jpegli_stub,
+    jpegxl_stub,
+)
+from .registry import CodecRegistry, CompareConfig, FormatSelection
+from .report import (
+    CodecStats,
+    ComparisonStats,
+    Metric,
+    ReportGenerator,
+    compute_statistics,
+    extract_rd_points,
+    per_quality_series,
+)
+
+__all__ = [
+    "STANDARD_QUALITY_LEVELS",
+    "CodecImpl",
+    "codec_color",
+    "CompareAgainstAll",
+    "CompareResult",
+    "AvifCodec",
+    "JpegCodec",
+    "PngCodec",
+    "UnavailableCodec",
+    "WebPCodec",
+    "jpegli_stub",
+    "jpegxl_stub",
+    "CodecRegistry",
+    "CompareConfig",
+    "FormatSelection",
+    "CodecStats",
+    "ComparisonStats",
+    "Metric",
+    "ReportGenerator",
+    "compute_statistics",
+    "extract_rd_points",
+    "per_quality_series",
+]

@@ -1,0 +1,249 @@
+"""Concrete codec adapters over the system image libraries (via PIL).
+
+Parallels the reference's adapter set (reference:
+crates/codec-compare/src/encoders/{jpeg,webp,avif,jpegxl,zenjpeg}.rs).  The
+reference links mozjpeg/jpegli/libwebp/rav1e/libjxl as native crates; this
+environment provides libjpeg-turbo, libwebp and libavif(aom) through PIL.
+Codecs that have no system backend here (jpegli, JPEG XL, mozjpeg-specific
+trellis tuning) are present as explicitly-unavailable adapters — exactly how
+the reference feature-stubs codecs whose crates are disabled
+(e.g. encoders/webp.rs stub, SURVEY.md §2.3).
+
+JPEG variants mirror the reference's foursome (4:2:0/4:4:4 x
+progressive/baseline, crates/codec-compare/src/encoders/jpeg.rs:57-120);
+AVIF presets are speed/subsampling points of the aom encoder standing in for
+the reference's rav1e tuning presets (avif_config.rs:33-68).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional
+
+import numpy as np
+
+from ..engine.image import ImageData
+from ..engine.session import EncodeRequest
+from ..errors import CodecError
+from .base import CodecImpl
+
+
+def _pil_version(feature: Optional[str] = None) -> str:
+    try:
+        from PIL import __version__, features
+
+        if feature:
+            v = features.version(feature)
+            if v:
+                return str(v)
+        return __version__
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
+def _decode_with_pil(data: bytes) -> ImageData:
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        icc = im.info.get("icc_profile")
+        if im.mode not in ("RGB", "RGBA"):
+            im = im.convert("RGB")
+        arr = np.asarray(im)
+    img = ImageData(np.ascontiguousarray(arr))
+    img.icc_profile = icc
+    return img
+
+
+class _PilCodec(CodecImpl):
+    """Shared encode/decode plumbing for PIL-backed formats."""
+
+    _pil_format: str = ""
+    _format_ext: str = ""
+    _feature: Optional[str] = None
+
+    def format(self) -> str:
+        return self._format_ext
+
+    def version(self) -> str:
+        return _pil_version(self._feature)
+
+    def is_available(self) -> bool:
+        if self._feature is None:
+            return True
+        try:
+            from PIL import features
+
+            return bool(features.check(self._feature))
+        except Exception:  # noqa: BLE001
+            return False
+
+    def _save_kwargs(self, request: EncodeRequest) -> dict:
+        raise NotImplementedError
+
+    def encode(self, image: ImageData, request: EncodeRequest) -> bytes:
+        from PIL import Image
+
+        try:
+            buf = io.BytesIO()
+            Image.fromarray(image.to_rgb8()).save(
+                buf, self._pil_format, **self._save_kwargs(request)
+            )
+            return buf.getvalue()
+        except Exception as e:  # noqa: BLE001
+            raise CodecError(self.id(), f"encode failed: {e}") from e
+
+    def decode(self, data: bytes) -> ImageData:
+        try:
+            return _decode_with_pil(data)
+        except Exception as e:  # noqa: BLE001
+            raise CodecError(self.id(), f"decode failed: {e}") from e
+
+
+class JpegCodec(_PilCodec):
+    """libjpeg-turbo with the reference's 4 variant axes
+    (4:2:0/4:4:4 x progressive/baseline), optimized entropy coding."""
+
+    _pil_format = "JPEG"
+    _format_ext = "jpg"
+    _feature = "jpg"
+
+    #: PIL subsampling codes.
+    _SUBSAMPLING = {"444": 0, "422": 1, "420": 2}
+
+    def __init__(self, subsampling: str = "420", progressive: bool = True):
+        assert subsampling in self._SUBSAMPLING
+        self.subsampling = subsampling
+        self.progressive = progressive
+
+    def id(self) -> str:
+        mode = "prog" if self.progressive else "base"
+        return f"jpeg-{self.subsampling}-{mode}"
+
+    def _save_kwargs(self, request: EncodeRequest) -> dict:
+        return {
+            "quality": int(round(request.quality)),
+            "subsampling": self._SUBSAMPLING[self.subsampling],
+            "progressive": self.progressive,
+            "optimize": True,
+        }
+
+    @classmethod
+    def all_variants(cls) -> List["JpegCodec"]:
+        """The reference's 4-variant matrix
+        (crates/codec-compare/src/encoders/jpeg.rs:57-120)."""
+        return [
+            cls("420", True),
+            cls("420", False),
+            cls("444", True),
+            cls("444", False),
+        ]
+
+
+class WebPCodec(_PilCodec):
+    """libwebp lossy.  reference: crates/codec-compare/src/encoders/webp.rs."""
+
+    _pil_format = "WEBP"
+    _format_ext = "webp"
+    _feature = "webp"
+
+    def __init__(self, method: int = 4):
+        self.method = method
+
+    def id(self) -> str:
+        return "webp" if self.method == 4 else f"webp-m{self.method}"
+
+    def _save_kwargs(self, request: EncodeRequest) -> dict:
+        return {
+            "quality": int(round(request.quality)),
+            "method": self.method,
+        }
+
+
+class AvifCodec(_PilCodec):
+    """libavif/aom.  Speed/subsampling presets stand in for the reference's
+    rav1e tuning presets (crates/codec-iter/src/avif_config.rs:33-68)."""
+
+    _pil_format = "AVIF"
+    _format_ext = "avif"
+    _feature = "avif"
+
+    def __init__(self, speed: int = 6, subsampling: str = "4:2:0", label: str = ""):
+        self.speed = speed
+        self.subsampling = subsampling
+        self.label = label
+
+    def id(self) -> str:
+        if self.label:
+            return f"avif-aom-{self.label}"
+        return f"avif-aom-s{self.speed}"
+
+    def _save_kwargs(self, request: EncodeRequest) -> dict:
+        return {
+            "quality": int(round(request.quality)),
+            "speed": self.speed,
+            "subsampling": self.subsampling,
+        }
+
+    @classmethod
+    def presets(cls) -> List["AvifCodec"]:
+        """Named preset ladder (speed/efficiency tradeoff points)."""
+        return [
+            cls(speed=6, label="baseline"),  # ~default effort
+            cls(speed=4, label="slow"),  # better BD-rate, ~3x time
+            cls(speed=8, label="fast"),  # iteration speed
+            cls(speed=6, subsampling="4:4:4", label="444"),
+        ]
+
+
+class PngCodec(_PilCodec):
+    """Lossless PNG anchor codec."""
+
+    _pil_format = "PNG"
+    _format_ext = "png"
+    _feature = None
+
+    def id(self) -> str:
+        return "png"
+
+    def _save_kwargs(self, request: EncodeRequest) -> dict:
+        return {"optimize": True}
+
+
+class UnavailableCodec(CodecImpl):
+    """A codec with no backend in this environment; registry skips it.
+
+    Mirrors the reference's feature-stubbed adapters that return
+    ``is_available() == false`` when their crate feature is off."""
+
+    def __init__(self, codec_id: str, fmt: str, reason: str):
+        self._id = codec_id
+        self._fmt = fmt
+        self.reason = reason
+
+    def id(self) -> str:
+        return self._id
+
+    def version(self) -> str:
+        return "unavailable"
+
+    def format(self) -> str:
+        return self._fmt
+
+    def is_available(self) -> bool:
+        return False
+
+    def encode(self, image: ImageData, request: EncodeRequest) -> bytes:
+        raise CodecError(self._id, f"not available: {self.reason}")
+
+    def decode(self, data: bytes) -> ImageData:
+        raise CodecError(self._id, f"not available: {self.reason}")
+
+
+def jpegxl_stub() -> UnavailableCodec:
+    return UnavailableCodec(
+        "jpegxl", "jxl", "no JPEG XL encoder bindings in this environment"
+    )
+
+
+def jpegli_stub() -> UnavailableCodec:
+    return UnavailableCodec("jpegli", "jpg", "jpegli not present; use jpeg-*")

@@ -1,0 +1,177 @@
+"""ctypes binding for the native host runtime (native/codec_eval_native.cpp)
+with pure-Python fallbacks.
+
+The native library accelerates host-side staging work around the TPU compute
+path: FNV-1a checksums, PPM cache IO, sRGB->linear LUT conversion, batch
+padding.  Build with ``make -C native``; everything degrades gracefully to
+numpy/Python when the .so is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+_SO_CANDIDATES = [
+    _REPO_ROOT / "native" / "libcodec_eval_native.so",
+    Path(os.environ.get("CODEC_EVAL_NATIVE", "/nonexistent")),
+]
+
+_lib: Optional[ctypes.CDLL] = None
+_lib_checked = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _lib_checked
+    if _lib_checked:
+        return _lib
+    _lib_checked = True
+    for cand in _SO_CANDIDATES:
+        if not cand.exists():
+            continue
+        try:
+            lib = ctypes.CDLL(str(cand))
+            lib.ce_fnv1a64.restype = ctypes.c_uint64
+            lib.ce_fnv1a64.argtypes = [ctypes.c_void_p, ctypes.c_size_t]
+            lib.ce_fnv1a64_file.restype = ctypes.c_uint64
+            lib.ce_fnv1a64_file.argtypes = [ctypes.c_char_p]
+            lib.ce_srgb_to_linear.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p,
+                ctypes.c_size_t,
+            ]
+            lib.ce_pad_image_u8.argtypes = [
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+                ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ]
+            lib.ce_write_ppm.restype = ctypes.c_int
+            lib.ce_write_ppm.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+            ]
+            lib.ce_read_ppm.restype = ctypes.c_int
+            lib.ce_read_ppm.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
+            ]
+            _lib = lib
+            return lib
+        except OSError:
+            continue
+    return None
+
+
+def is_native_available() -> bool:
+    return _load() is not None
+
+
+def fnv1a64(data: bytes | np.ndarray) -> int:
+    lib = _load()
+    if isinstance(data, np.ndarray):
+        data = np.ascontiguousarray(data)
+        buf, n = data.ctypes.data, data.nbytes
+        if lib:
+            return int(lib.ce_fnv1a64(buf, n))
+        data = data.tobytes()
+    elif lib:
+        return int(lib.ce_fnv1a64(data, len(data)))
+    from ..corpus.checksum import fnv1a_64
+
+    return fnv1a_64(data)
+
+
+def fnv1a64_file(path) -> int:
+    lib = _load()
+    if lib:
+        v = int(lib.ce_fnv1a64_file(str(path).encode()))
+        if v != 0:
+            return v
+        # 0 signals open failure; fall through to raise via Python path.
+    from ..corpus.checksum import fnv1a_64_file
+
+    return fnv1a_64_file(Path(path))
+
+
+def srgb_to_linear_host(u8: np.ndarray) -> np.ndarray:
+    """Host-side sRGB u8 -> linear f32 (LUT), for infeed staging."""
+    u8 = np.ascontiguousarray(u8)
+    out = np.empty(u8.shape, dtype=np.float32)
+    lib = _load()
+    if lib:
+        lib.ce_srgb_to_linear(u8.ctypes.data, out.ctypes.data, u8.size)
+        return out
+    lut = _py_lut()
+    return lut[u8]
+
+
+_PY_LUT: Optional[np.ndarray] = None
+
+
+def _py_lut() -> np.ndarray:
+    global _PY_LUT
+    if _PY_LUT is None:
+        v = np.arange(256, dtype=np.float64) / 255.0
+        _PY_LUT = np.where(
+            v <= 0.04045, v / 12.92, ((v + 0.055) / 1.055) ** 2.4
+        ).astype(np.float32)
+    return _PY_LUT
+
+
+def pad_image_u8(img: np.ndarray, ph: int, pw: int) -> np.ndarray:
+    """(h, w, 3) u8 -> zero-padded (ph, pw, 3) u8."""
+    h, w = img.shape[:2]
+    lib = _load()
+    out = np.empty((ph, pw, 3), dtype=np.uint8)
+    if lib:
+        img = np.ascontiguousarray(img)
+        lib.ce_pad_image_u8(img.ctypes.data, h, w, out.ctypes.data, ph, pw)
+        return out
+    out[:] = 0
+    out[:h, :w] = img
+    return out
+
+
+def write_ppm(path, rgb: np.ndarray) -> None:
+    h, w = rgb.shape[:2]
+    lib = _load()
+    if lib:
+        rgb = np.ascontiguousarray(rgb)
+        rc = lib.ce_write_ppm(str(path).encode(), rgb.ctypes.data, w, h)
+        if rc != 0:
+            raise IOError(f"ce_write_ppm failed ({rc}) for {path}")
+        return
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(np.ascontiguousarray(rgb).tobytes())
+
+
+def read_ppm(path) -> np.ndarray:
+    lib = _load()
+    if lib:
+        w = ctypes.c_uint32()
+        h = ctypes.c_uint32()
+        rc = lib.ce_read_ppm(str(path).encode(), None, 0, ctypes.byref(w), ctypes.byref(h))
+        if rc != 0:
+            raise IOError(f"ce_read_ppm header failed ({rc}) for {path}")
+        out = np.empty((h.value, w.value, 3), dtype=np.uint8)
+        rc = lib.ce_read_ppm(
+            str(path).encode(), out.ctypes.data, out.nbytes,
+            ctypes.byref(w), ctypes.byref(h),
+        )
+        if rc != 0:
+            raise IOError(f"ce_read_ppm failed ({rc}) for {path}")
+        return out
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        if magic != b"P6":
+            raise IOError(f"not a P6 PPM: {path}")
+        dims = f.readline().split()
+        w_, h_ = int(dims[0]), int(dims[1])
+        maxval = int(f.readline())
+        assert maxval == 255
+        data = np.frombuffer(f.read(w_ * h_ * 3), dtype=np.uint8)
+        return data.reshape(h_, w_, 3).copy()
