@@ -240,7 +240,12 @@ class ReportGenerator:
               f"{'avg ' + stats.metric.value:>14} {'enc ms':>7} {'BD-rate':>9}")
         print("-" * 74)
         for c in stats.codecs:
-            bd = "baseline" if c.bd_rate_vs_baseline is None else f"{c.bd_rate_vs_baseline:+8.1f}%"
+            if c.codec_id == stats.baseline_codec:
+                bd = "baseline"
+            elif c.bd_rate_vs_baseline is None:
+                bd = "n/a"  # needs >= 4 overlapping quality points
+            else:
+                bd = f"{c.bd_rate_vs_baseline:+8.1f}%"
             print(
                 f"{c.codec_id:<26} {c.result_count:>4} {c.avg_bpp:>8.3f} "
                 f"{c.avg_metric:>14.4f} {c.avg_encode_ms:>7.1f} {bd:>9}"

@@ -1,0 +1,208 @@
+"""Engine tests with trivial codec closures — the reference's key testability
+property (callback fakes instead of codec mocks, src/eval/session.rs:634)."""
+
+import csv
+import json
+
+import numpy as np
+import pytest
+
+from codec_eval_tpu import (
+    EvalConfig,
+    EvalSession,
+    ImageData,
+    MetricConfig,
+    MetricResult,
+    PerceptionLevel,
+    QualityBelowThreshold,
+    assert_perception_level,
+    assert_quality,
+    evaluate_single,
+)
+from codec_eval_tpu.engine.report import CSV_COLUMNS
+
+
+def _image(w=32, h=32):
+    rng = np.random.default_rng(11)
+    return rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+
+
+def test_metric_config_presets():
+    all_ = MetricConfig.all()
+    assert all_.dssim and all_.ssimulacra2 and all_.butteraugli and all_.psnr
+    assert not all_.xyb_roundtrip
+    fast = MetricConfig.fast()
+    assert fast.psnr and not fast.dssim
+    perc = MetricConfig.perceptual()
+    assert perc.dssim and not perc.psnr
+    pxyb = MetricConfig.perceptual_xyb()
+    assert pxyb.xyb_roundtrip
+    s2 = MetricConfig.ssimulacra2_only()
+    assert s2.ssimulacra2 and not s2.butteraugli
+    assert MetricConfig.fast().with_xyb_roundtrip().xyb_roundtrip
+
+
+def test_perception_levels():
+    assert PerceptionLevel.from_dssim(0.0001) == PerceptionLevel.IMPERCEPTIBLE
+    assert PerceptionLevel.from_dssim(0.0005) == PerceptionLevel.MARGINAL
+    assert PerceptionLevel.from_dssim(0.001) == PerceptionLevel.SUBTLE
+    assert PerceptionLevel.from_dssim(0.002) == PerceptionLevel.NOTICEABLE
+    assert PerceptionLevel.from_dssim(0.01) == PerceptionLevel.DEGRADED
+    assert PerceptionLevel.from_ssimulacra2(95.0) == PerceptionLevel.IMPERCEPTIBLE
+    assert PerceptionLevel.from_ssimulacra2(40.0) == PerceptionLevel.DEGRADED
+    assert PerceptionLevel.from_butteraugli(0.5) == PerceptionLevel.IMPERCEPTIBLE
+    assert PerceptionLevel.from_butteraugli(4.0) == PerceptionLevel.NOTICEABLE
+    assert PerceptionLevel.IMPERCEPTIBLE.code() == "IMP"
+    assert PerceptionLevel.DEGRADED.code() == "DEG"
+    assert PerceptionLevel.IMPERCEPTIBLE.max_dssim() == 0.0003
+    assert PerceptionLevel.MARGINAL.min_ssimulacra2() == 80.0
+    assert PerceptionLevel.SUBTLE.max_butteraugli() == 3.0
+
+
+def test_image_data_variants():
+    arr = _image(8, 4)
+    img = ImageData.rgb8(arr)
+    assert img.width == 8 and img.height == 4
+    assert np.array_equal(img.to_rgb8(), arr)
+
+    rgba = np.concatenate([arr, np.full((4, 8, 1), 255, np.uint8)], axis=2)
+    img = ImageData.rgba8(rgba)
+    assert np.array_equal(img.to_rgb8(), arr)  # alpha dropped
+
+    img = ImageData.rgb_slice(arr.tobytes(), 8, 4)
+    assert np.array_equal(img.to_rgb8(), arr)
+
+    img = ImageData.rgb_slice_with_icc(arr.tobytes(), 8, 4, b"fake-icc")
+    assert img.icc_profile == b"fake-icc"
+    assert not img.color_profile().is_srgb
+
+
+def test_session_encode_only_codec(tmp_path):
+    """Codec without decoder records size only (no metrics, no perception)."""
+    config = (
+        EvalConfig.builder()
+        .report_dir(tmp_path)
+        .metrics(MetricConfig.fast())
+        .quality_levels([50, 80])
+        .build()
+    )
+    session = EvalSession(config)
+    session.add_codec("fake", "1.0", lambda img, req: b"\x00" * 100)
+    assert session.codec_count == 1
+
+    report = session.evaluate_image("test", ImageData.rgb8(_image()))
+    assert len(report.results) == 2
+    r = report.results[0]
+    assert r.file_size == 100
+    assert r.bits_per_pixel == pytest.approx(100 * 8 / (32 * 32))
+    assert r.metrics.psnr is None
+    assert r.perception is None
+
+
+def test_session_identity_codec_json_csv(tmp_path):
+    """Identity codec -> perfect metrics; JSON + CSV schema validation."""
+    config = (
+        EvalConfig.builder()
+        .report_dir(tmp_path)
+        .metrics(MetricConfig.fast())
+        .quality_levels([80])
+        .build()
+    )
+    session = EvalSession(config)
+    arr = _image()
+
+    session.add_codec_with_decode(
+        "identity",
+        "1.0",
+        lambda img, req: img.to_rgb8().tobytes(),
+        lambda data: ImageData.rgb_slice(data, 32, 32),
+    )
+    report = session.evaluate_image("demo", ImageData.rgb8(arr))
+    assert report.results[0].metrics.psnr > 1e6  # inf clamped later in JSON
+
+    session.write_image_report(report)
+    with open(tmp_path / "demo.json") as f:
+        d = json.load(f)
+    assert set(d) == {
+        "name", "source_path", "width", "height", "uncompressed_size",
+        "results", "timestamp",
+    }
+    r0 = d["results"][0]
+    assert set(r0) == {
+        "codec_id", "codec_version", "quality", "file_size", "bits_per_pixel",
+        "encode_time", "decode_time", "metrics", "perception", "cached_path",
+        "codec_params",
+    }
+    assert set(r0["metrics"]) == {"dssim", "ssimulacra2", "butteraugli", "psnr"}
+
+    from codec_eval_tpu.engine.report import CorpusReport
+
+    corpus = CorpusReport(name="corpus_demo")
+    corpus.images.append(report)
+    session.write_corpus_report(corpus)
+    with open(tmp_path / "corpus_demo.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == CSV_COLUMNS
+    assert len(rows) == 2
+    assert rows[1][0] == "demo" and rows[1][1] == "identity"
+    assert rows[1][3] == "80"  # integral quality rendered without decimals
+
+    assert corpus.total_results() == 1
+    assert corpus.codec_ids() == ["identity"]
+
+
+def test_report_queries():
+    from codec_eval_tpu.engine.report import CodecResult, ImageReport
+
+    report = ImageReport(name="x", width=10, height=10)
+    for size, dssim in [(1000, 0.001), (500, 0.005), (2000, 0.0005)]:
+        report.results.append(
+            CodecResult(
+                codec_id="c",
+                codec_version="1",
+                quality=80.0,
+                file_size=size,
+                bits_per_pixel=size * 8 / 100,
+                encode_time_ms=1,
+                decode_time_ms=1,
+                metrics=MetricResult(dssim=dssim),
+                perception=None,
+            )
+        )
+    assert report.best_at_size(1500).file_size == 1000  # lowest dssim <= 1500
+    assert report.smallest_at_quality(0.002).file_size == 1000
+    assert report.smallest_at_quality(0.0001) is None
+    assert report.uncompressed_size == 300
+
+
+def test_evaluate_single_and_gates():
+    arr = _image(24, 24)
+    result = evaluate_single(arr, arr, MetricConfig.fast())
+    assert result.psnr == float("inf") or result.psnr > 1e6
+    assert result.dssim is None  # only requested metrics computed
+
+    # Gates on identical images pass trivially.
+    assert_quality(arr, arr, min_ssimulacra2=99.0)
+    assert_perception_level(arr, arr, PerceptionLevel.IMPERCEPTIBLE)
+
+    # Heavy distortion trips the gate.
+    noise = np.random.default_rng(1).integers(0, 256, arr.shape).astype(np.uint8)
+    with pytest.raises(QualityBelowThreshold):
+        assert_quality(arr, noise, min_ssimulacra2=90.0)
+
+
+def test_json_inf_clamped(tmp_path):
+    """Infinity PSNR must serialize as a finite JSON number."""
+    from codec_eval_tpu.engine.report import CodecResult, ImageReport, write_json
+
+    report = ImageReport(name="inf", width=4, height=4)
+    report.results.append(
+        CodecResult(
+            codec_id="c", codec_version="1", quality=80.0, file_size=10,
+            bits_per_pixel=5.0, encode_time_ms=0, decode_time_ms=None,
+            metrics=MetricResult(psnr=float("inf")), perception=None,
+        )
+    )
+    write_json(report, tmp_path / "inf.json")
+    d = json.loads((tmp_path / "inf.json").read_text())
+    assert d["results"][0]["metrics"]["psnr"] == 1e308
