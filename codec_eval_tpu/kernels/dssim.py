@@ -104,10 +104,25 @@ def dssim(ref_linear: jnp.ndarray, dist_linear: jnp.ndarray) -> jnp.ndarray:
         weight_sum += sweight
     ssim = total / weight_sum
     ssim = jnp.clip(ssim, 1e-6, 1.0)
-    val = 1.0 / ssim - 1.0
+    raw = 1.0 / ssim - 1.0
+    val = _calibrate_scale(raw)
     # Exact-zero guarantee for identical buffers (mirrors reference behavior).
     identical = jnp.all(ref_linear == dist_linear)
     return jnp.where(identical, jnp.asarray(0.0, val.dtype), val)
+
+
+def _calibrate_scale(raw: jnp.ndarray) -> jnp.ndarray:
+    """Map the raw dissimilarity onto the reference's DSSIM threshold scale.
+
+    The monotone power map is fitted by tools/calibrate_dssim.py via the
+    perception-band correspondence with canonical butteraugli (the DSSIM and
+    Butteraugli threshold tables label the same bands,
+    reference: src/metrics/mod.rs:17-27)."""
+    try:
+        from .dssim_calibrated import SCALE_A, SCALE_B
+    except ImportError:
+        return raw
+    return SCALE_A * jnp.power(jnp.maximum(raw, 1e-12), SCALE_B)
 
 
 def dssim_u8(ref_u8: jnp.ndarray, dist_u8: jnp.ndarray) -> jnp.ndarray:
