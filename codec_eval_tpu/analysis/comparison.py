@@ -86,8 +86,15 @@ def sweep_codecs(
     limit: int = 0,
     progress: Optional[Callable[[str], None]] = None,
     eta: bool = False,
+    checkpoint: Optional[Path] = None,
 ) -> List[ComparisonRow]:
-    """(image x codec x quality) grid, fully scored."""
+    """(image x codec x quality) grid, fully scored.
+
+    ``checkpoint`` enables shard-level resume (a gap the reference leaves
+    open — its interrupted sweeps restart from scratch, SURVEY.md §5):
+    completed (image, codec) units append to a JSONL file and are skipped
+    on rerun.
+    """
     import jax.numpy as jnp
     from PIL import Image
 
@@ -97,6 +104,24 @@ def sweep_codecs(
     done = 0
     t0 = time.perf_counter()
     rows: List[ComparisonRow] = []
+
+    completed = set()
+    ckpt_fh = None
+    if checkpoint is not None:
+        checkpoint = Path(checkpoint)
+        if checkpoint.exists():
+            with open(checkpoint) as f:
+                for line in f:
+                    try:
+                        rec = json.loads(line)
+                    except json.JSONDecodeError:
+                        continue
+                    completed.add((rec["image"], rec["codec"]))
+                    for r in rec["rows"]:
+                        rows.append(ComparisonRow(**r))
+            if progress and completed:
+                progress(f"resumed {len(completed)} completed units from {checkpoint}")
+        ckpt_fh = open(checkpoint, "a")
 
     for corpus_image in images:
         path = corpus_image.full_path(corpus.root_path)
@@ -109,6 +134,9 @@ def sweep_codecs(
         h, w = rgb.shape[:2]
         ref_dev = jnp.asarray(rgb)
         for codec in codecs:
+            if (corpus_image.name(), codec.summary) in completed:
+                done += 1
+                continue
             entries = []
             for q in qualities:
                 t_enc = time.perf_counter()
@@ -117,10 +145,11 @@ def sweep_codecs(
                 entries.append((int(q), len(data), enc_ms, codec.decode(data)))
             batch = np.stack([e[3] for e in entries])
             s2s, dss, bas = score(ref_dev, jnp.asarray(batch))
+            unit_rows = []
             for (q, size, enc_ms, _), s2, ds, ba in zip(
                 entries, np.asarray(s2s), np.asarray(dss), np.asarray(bas)
             ):
-                rows.append(
+                unit_rows.append(
                     ComparisonRow(
                         image=corpus_image.name(),
                         codec=codec.summary,
@@ -132,6 +161,19 @@ def sweep_codecs(
                         encode_ms=enc_ms,
                     )
                 )
+            rows.extend(unit_rows)
+            if ckpt_fh is not None:
+                ckpt_fh.write(
+                    json.dumps(
+                        {
+                            "image": corpus_image.name(),
+                            "codec": codec.summary,
+                            "rows": [r.__dict__ for r in unit_rows],
+                        }
+                    )
+                    + "\n"
+                )
+                ckpt_fh.flush()
             done += 1
             if progress:
                 msg = f"[{done}/{total_units}] {corpus_image.name()} x {codec.summary}"
@@ -139,6 +181,8 @@ def sweep_codecs(
                     rate = (time.perf_counter() - t0) / done
                     msg += f"  ETA {rate * (total_units - done):.0f}s"
                 progress(msg)
+    if ckpt_fh is not None:
+        ckpt_fh.close()
     return rows
 
 

@@ -60,7 +60,7 @@ def cmd_full_comparison(args) -> int:
     qualities = list(range(args.q_min, args.q_max + 1, args.q_step))
     rows = sweep_codecs(
         corpus, codecs, qualities, limit=args.limit,
-        progress=lambda s: print(f"  {s}"),
+        progress=lambda s: print(f"  {s}"), checkpoint=args.checkpoint,
     )
     write_comparison_csv(rows, args.output)
     print(f"wrote {len(rows)} rows to {args.output}")
@@ -73,7 +73,7 @@ def cmd_brute_force(args) -> int:
     qualities = list(range(2, 101, 2))
     rows = sweep_codecs(
         corpus, codecs, qualities, limit=args.limit,
-        progress=lambda s: print(f"  {s}"), eta=True,
+        progress=lambda s: print(f"  {s}"), eta=True, checkpoint=args.checkpoint,
     )
     write_comparison_csv(rows, args.output)
     print(f"wrote {len(rows)} rows to {args.output}")
@@ -213,6 +213,8 @@ def main(argv=None) -> int:
     p.add_argument("--q-step", type=int, default=5)
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--output", type=Path, default=Path("full_comparison.csv"))
+    p.add_argument("--checkpoint", type=Path,
+                   help="JSONL checkpoint for shard-level resume")
     p.set_defaults(fn=cmd_full_comparison)
 
     p = sub.add_parser("brute-force-sweep")
@@ -220,6 +222,8 @@ def main(argv=None) -> int:
     p.add_argument("--codecs", default="jpeg:420,webp")
     p.add_argument("--limit", type=int, default=0)
     p.add_argument("--output", type=Path, default=Path("brute_force.csv"))
+    p.add_argument("--checkpoint", type=Path,
+                   help="JSONL checkpoint for shard-level resume")
     p.set_defaults(fn=cmd_brute_force)
 
     p = sub.add_parser("find-outliers")
