@@ -41,12 +41,49 @@ def gaussian_taps(sigma: float, radius: int | None = None) -> np.ndarray:
     return taps.astype(np.float32)
 
 
+import os
+
+#: Blur implementation: "shifted" (default — unrolled shifted-slice
+#: accumulation, fuses into neighboring elementwise work) or "conv"
+#: (lax.conv_general_dilated).  Both compute identical zero-padded FIR
+#: Gaussians; the env knob exists for A/B profiling.
+BLUR_IMPL = os.environ.get("CODEC_EVAL_BLUR_IMPL", "shifted")
+
+
 def blur_separable(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Gaussian-blur a stack of planes ``(C, H, W)`` with zero-padded borders.
 
     Zero boundary extension mirrors the reference kernels' recursive filters,
     which treat samples outside the image as zero.
     """
+    if BLUR_IMPL == "conv":
+        return _blur_conv(planes, sigma)
+    return _blur_shifted(planes, sigma)
+
+
+def _blur_shifted(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable FIR as unrolled shifted-slice accumulation.
+
+    Each pass is K shifted multiply-adds over a zero-padded array — pure
+    VPU elementwise work that XLA fuses with the surrounding metric math,
+    avoiding the poorly-tiled single-feature conv lowering.
+    """
+    taps = gaussian_taps(sigma)
+    k = len(taps)
+    r = k // 2
+    c, h, w = planes.shape
+    xp = jnp.pad(planes, ((0, 0), (r, r), (0, 0)))
+    out = taps[0] * xp[:, 0:h, :]
+    for i in range(1, k):
+        out = out + taps[i] * xp[:, i : i + h, :]
+    xp = jnp.pad(out, ((0, 0), (0, 0), (r, r)))
+    out = taps[0] * xp[:, :, 0:w]
+    for i in range(1, k):
+        out = out + taps[i] * xp[:, :, i : i + w]
+    return out
+
+
+def _blur_conv(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
     taps = jnp.asarray(gaussian_taps(sigma))
     k = taps.shape[0]
     c, h, w = planes.shape
