@@ -137,18 +137,10 @@ class EvalSession:
     def codec_count(self) -> int:
         return len(self._codecs)
 
-    def evaluate_image(self, name: str, image: ImageData) -> ImageReport:
-        """Evaluate one image across all codecs x quality levels.
-
-        Host codecs run serially (timed individually, like the reference's
-        Instant timers, src/eval/session.rs:380-389); all decoded candidates
-        are then scored in one batched device dispatch per image.
-        """
+    def _stage_image(self, name: str, image: ImageData) -> List[dict]:
+        """Host phase: run every (codec, quality) encode/decode, timed.
+        reference timers: src/eval/session.rs:380-389."""
         width, height = image.width, image.height
-        report = ImageReport(name=name, width=width, height=height)
-        reference_rgb = image.to_rgb8()
-
-        # Phase 1 (host): encode/decode every candidate, timed.
         staged: List[dict] = []
         for codec in self._codecs:
             for quality in self.config.quality_levels:
@@ -156,6 +148,17 @@ class EvalSession:
                 t0 = time.perf_counter()
                 encoded = codec.encode(image, request)
                 encode_ms = int((time.perf_counter() - t0) * 1000)
+
+                cached_path = None
+                if self.config.cache_dir is not None:
+                    # Encoded-artifact caching (the reference plumbs
+                    # cache_dir but never writes it — closed here).
+                    self.config.cache_dir.mkdir(parents=True, exist_ok=True)
+                    cached = self.config.cache_dir / (
+                        f"{name}-{codec.id}-q{quality:g}.bin"
+                    )
+                    cached.write_bytes(encoded)
+                    cached_path = str(cached)
 
                 entry = {
                     "codec": codec,
@@ -165,6 +168,7 @@ class EvalSession:
                     "encode_ms": encode_ms,
                     "decode_ms": None,
                     "decoded": None,
+                    "cached_path": cached_path,
                 }
                 if codec.decode is not None:
                     t0 = time.perf_counter()
@@ -178,8 +182,16 @@ class EvalSession:
                         )
                     entry["decoded"] = decoded_rgb
                 staged.append(entry)
+        return staged
 
-        # Phase 2 (device): one fused batch per image for all decodable pairs.
+    def _score_and_report(
+        self, name: str, image: ImageData, staged: List[dict]
+    ) -> ImageReport:
+        """Device phase: one fused batch for all decodable pairs."""
+        width, height = image.width, image.height
+        report = ImageReport(name=name, width=width, height=height)
+        reference_rgb = image.to_rgb8()
+
         decodable = [e for e in staged if e["decoded"] is not None]
         if decodable and self._scorer.enabled():
             batch = np.stack([e["decoded"] for e in decodable])
@@ -202,11 +214,62 @@ class EvalSession:
                     decode_time_ms=e["decode_ms"],
                     metrics=metrics,
                     perception=metrics.perception_level() if e["decoded"] is not None else None,
-                    cached_path=None,
+                    cached_path=e["cached_path"],
                     codec_params=e["params"],
                 )
             )
         return report
+
+    def evaluate_image(self, name: str, image: ImageData) -> ImageReport:
+        """Evaluate one image across all codecs x quality levels.
+
+        Host codecs run serially (timed individually); all decoded
+        candidates are then scored in one batched device dispatch.
+        """
+        return self._score_and_report(name, image, self._stage_image(name, image))
+
+    def evaluate_corpus(
+        self, images, name: str = "corpus", on_error: str = "skip", progress=None
+    ) -> CorpusReport:
+        """Evaluate an iterable of (name, ImageData) pairs with a one-slot
+        host/device pipeline: host codecs encode image i+1 while the device
+        scores image i (the infeed overlap replacing the reference's rayon
+        fan-out).  ``on_error="skip"`` applies the reference's
+        skip-and-continue failure policy; "raise" propagates.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..errors import CodecEvalError
+
+        items = list(images)
+        corpus_report = CorpusReport(name=name)
+        if not items:
+            return corpus_report
+
+        def stage(idx):
+            img_name, image = items[idx]
+            return self._stage_image(img_name, image)
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            future = pool.submit(stage, 0)
+            for i, (img_name, image) in enumerate(items):
+                try:
+                    staged = future.result()
+                except CodecEvalError as e:
+                    if on_error == "raise":
+                        raise
+                    if progress:
+                        progress(f"SKIP {img_name} ({e})")
+                    staged = None
+                if i + 1 < len(items):
+                    future = pool.submit(stage, i + 1)
+                if staged is None:
+                    continue
+                report = self._score_and_report(img_name, image, staged)
+                corpus_report.images.append(report)
+                if progress:
+                    progress(f"[{i + 1}/{len(items)}] {img_name} OK")
+        return corpus_report
 
     def write_image_report(self, report: ImageReport) -> None:
         """JSON report at <report_dir>/<name>.json.

@@ -1,0 +1,54 @@
+"""Device-mesh parallelism tests on the virtual 8-device CPU mesh
+(the reference has no distributed layer to mirror — SURVEY.md §2.5 — so
+these validate the TPU-native replacement directly)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from codec_eval_tpu.parallel import make_mesh, shard_batch, sharded_score_fn
+
+
+def _pairs(n, h=48, w=48):
+    rng = np.random.default_rng(0)
+    refs = rng.integers(0, 256, (n, h, w, 3)).astype(np.uint8)
+    dists = np.clip(
+        refs.astype(np.int16) + rng.integers(-8, 9, refs.shape), 0, 255
+    ).astype(np.uint8)
+    return refs, dists
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_matches_unsharded():
+    mesh = make_mesh(n_batch=4, n_space=2)
+    refs, dists = _pairs(4)
+    step = sharded_score_fn(mesh, dssim=False, butteraugli=False, spatial=True)
+    per_pair, agg = step(
+        shard_batch(mesh, refs, spatial=True), shard_batch(mesh, dists, spatial=True)
+    )
+    sharded_s2 = np.asarray(per_pair["ssimulacra2"])
+
+    from codec_eval_tpu.kernels.ssimulacra2 import ssimulacra2
+
+    single = np.array(
+        [float(ssimulacra2(jnp.asarray(r), jnp.asarray(d))) for r, d in zip(refs, dists)]
+    )
+    # Spatial sharding changes reduction order only.
+    np.testing.assert_allclose(sharded_s2, single, rtol=1e-4, atol=1e-3)
+    assert float(agg["mean_ssimulacra2"]) == pytest.approx(single.mean(), abs=1e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_batch_only_mesh():
+    mesh = make_mesh(n_batch=8, n_space=1)
+    refs, dists = _pairs(8, 32, 32)
+    step = sharded_score_fn(mesh, dssim=False, butteraugli=False, ssimulacra2=False)
+    per_pair, agg = step(shard_batch(mesh, refs), shard_batch(mesh, dists))
+    assert per_pair["psnr"].shape == (8,)
+    assert np.isfinite(np.asarray(per_pair["psnr"])).all()
+
+
+def test_mesh_shape_validation():
+    with pytest.raises(AssertionError):
+        make_mesh(n_batch=64, n_space=2)

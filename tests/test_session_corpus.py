@@ -1,0 +1,71 @@
+"""EvalSession corpus pipeline + cache_dir tests."""
+
+import numpy as np
+import pytest
+
+from codec_eval_tpu import EvalConfig, EvalSession, ImageData, MetricConfig
+from codec_eval_tpu.errors import CodecError
+
+
+def _img(seed=0, n=24):
+    return np.random.default_rng(seed).integers(0, 256, (n, n, 3)).astype(np.uint8)
+
+
+def _identity_session(tmp_path, cache=False):
+    b = (
+        EvalConfig.builder()
+        .report_dir(tmp_path)
+        .metrics(MetricConfig.fast())
+        .quality_levels([80])
+    )
+    if cache:
+        b = b.cache_dir(tmp_path / "cache")
+    session = EvalSession(b.build())
+    session.add_codec_with_decode(
+        "identity", "1.0",
+        lambda img, req: img.to_rgb8().tobytes(),
+        lambda data: ImageData.rgb_slice(data, 24, 24),
+    )
+    return session
+
+
+def test_evaluate_corpus_pipeline(tmp_path):
+    session = _identity_session(tmp_path)
+    items = [(f"img{i}", ImageData.rgb8(_img(i))) for i in range(3)]
+    seen = []
+    report = session.evaluate_corpus(items, name="demo", progress=seen.append)
+    assert len(report.images) == 3
+    assert report.codec_ids() == ["identity"]
+    assert any("3/3" in s for s in seen)
+
+
+def test_evaluate_corpus_skip_and_continue(tmp_path):
+    """Failing codec on one image skips it (reference policy,
+    crates/codec-compare/src/main.rs:335-376)."""
+    session = _identity_session(tmp_path)
+
+    def flaky_encode(img, req):
+        if img.to_rgb8()[0, 0, 0] % 2 == 1:
+            raise CodecError("identity", "simulated failure")
+        return img.to_rgb8().tobytes()
+
+    session._codecs[0].encode = flaky_encode
+    items = [(f"img{i}", ImageData.rgb8(_img(i))) for i in range(4)]
+    expected_ok = sum(1 for _, im in items if im.to_rgb8()[0, 0, 0] % 2 == 0)
+    report = session.evaluate_corpus(items, on_error="skip")
+    assert len(report.images) == expected_ok
+
+    with pytest.raises(CodecError):
+        session.evaluate_corpus(items, on_error="raise")
+
+
+def test_cache_dir_writes_artifacts(tmp_path):
+    session = _identity_session(tmp_path, cache=True)
+    report = session.evaluate_image("x", ImageData.rgb8(_img()))
+    r = report.results[0]
+    assert r.cached_path is not None
+    from pathlib import Path
+
+    p = Path(r.cached_path)
+    assert p.exists()
+    assert p.stat().st_size == r.file_size
