@@ -68,20 +68,24 @@ def cmd_run(args) -> int:
         print("skipped (unavailable): "
               + ", ".join(c.id() for c in registry.skipped))
 
-    corpus_report = CorpusReport(name=args.name)
-    for i, corpus_image in enumerate(images):
-        name = corpus_image.name()
-        print(f"[{i + 1}/{len(images)}] {name}...", end=" ", flush=True)
-        try:
-            image = ImageData.open(corpus_image.full_path(corpus.root_path))
-            report = registry.evaluate_image(name, image)
-        except CodecEvalError as e:
-            # Skip-and-continue failure policy (reference: main.rs:335-376).
-            print(f"SKIP ({e})")
-            continue
+    def load_items():
+        for corpus_image in images:
+            try:
+                yield (
+                    corpus_image.name(),
+                    ImageData.open(corpus_image.full_path(corpus.root_path)),
+                )
+            except CodecEvalError as e:
+                # Skip-and-continue (reference: main.rs:335-376).
+                print(f"SKIP {corpus_image.name()} ({e})")
+
+    # Pipelined corpus evaluation: host codecs encode image i+1 while the
+    # device scores image i.
+    corpus_report = registry.session.evaluate_corpus(
+        load_items(), name=args.name, on_error="skip", progress=print
+    )
+    for report in corpus_report.images:
         registry.write_image_report(report)
-        corpus_report.images.append(report)
-        print("OK")
 
     registry.write_corpus_report(corpus_report)
     gen = ReportGenerator(args.output, Metric(args.metric))
