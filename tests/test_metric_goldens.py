@@ -1,0 +1,62 @@
+"""Self-regression goldens: pinned metric values on fixed synthetic pairs.
+
+The analog of the reference pinning its calibration numbers as data-driven
+regression tests (src/stats/rd_knee.rs:1256-1279): refactors of the kernel
+pipelines must not silently shift scores.  Butteraugli is excluded — its
+constants are re-fitted against the golden oracle and expected to move
+between calibration runs (its behavior is covered by the oracle-tracking
+test instead).
+
+Regenerate after an *intentional* scoring change with:
+    python -m pytest tests/test_metric_goldens.py --collect-only  # see fixture
+and update the pins alongside the change rationale.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from codec_eval_tpu.kernels.dssim import dssim_u8
+from codec_eval_tpu.kernels.psnr import psnr
+from codec_eval_tpu.kernels.ssimulacra2 import ssimulacra2
+
+
+def _fixture():
+    rng = np.random.default_rng(1234)
+    y, x = np.mgrid[0:96, 0:96]
+    base = 120 + 60 * np.sin(x / 11.0) + 45 * np.cos(y / 8.0)
+    ref = np.clip(
+        np.stack([base, base * 0.9 + 10, base * 0.8 + 20], -1)
+        + rng.normal(0, 5, (96, 96, 3)),
+        0,
+        255,
+    ).astype(np.uint8)
+    mild = np.clip(
+        ref.astype(np.int16) + rng.integers(-4, 5, ref.shape), 0, 255
+    ).astype(np.uint8)
+    strong = np.clip(
+        ref.astype(np.int16) + rng.integers(-20, 21, ref.shape), 0, 255
+    ).astype(np.uint8)
+    return ref, mild, strong
+
+
+GOLDENS = {
+    # (ssimulacra2, dssim, psnr) — pinned 2026-08-16.
+    "mild": (95.8963, 0.0003500, 39.8877),
+    "strong": (82.6862, 0.0023061, 26.6283),
+}
+
+
+@pytest.mark.parametrize("which", ["mild", "strong"])
+def test_pinned_metric_values(which):
+    ref, mild, strong = _fixture()
+    dist = {"mild": mild, "strong": strong}[which]
+    s2_gold, ds_gold, ps_gold = GOLDENS[which]
+
+    s2 = float(ssimulacra2(jnp.asarray(ref), jnp.asarray(dist)))
+    ds = float(dssim_u8(jnp.asarray(ref), jnp.asarray(dist)))
+    ps = float(psnr(jnp.asarray(ref), jnp.asarray(dist)))
+
+    assert s2 == pytest.approx(s2_gold, abs=0.05)
+    assert ds == pytest.approx(ds_gold, rel=0.02)
+    assert ps == pytest.approx(ps_gold, abs=0.02)
