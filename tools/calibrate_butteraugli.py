@@ -71,6 +71,22 @@ def make_base_images(size: int):
     img = np.stack([mix, mix * 0.88 + 12, mix * 0.74 + 26], -1)
     images.append(img)
 
+    # 7. smooth portrait-like blobs (skin tones, slow gradients)
+    cx, cy = w * 0.55, h * 0.45
+    rr = np.sqrt((x - cx) ** 2 + (y - cy) ** 2)
+    skin = 190 - 0.35 * rr + 6 * np.sin(rr / 9.0)
+    img = np.stack([skin, skin * 0.8 + 8, skin * 0.66 + 10], -1)
+    images.append(img)
+
+    # 8. text-like strokes on light background
+    text = np.full((h, w), 235.0)
+    stroke = ((np.sin(x / 2.1) > 0.4) & (np.sin(y / 5.3) > -0.2)) & (
+        ((x // 24) + (y // 16)) % 3 != 0
+    )
+    text[stroke] = 25.0
+    img = np.stack([text, text, text], -1)
+    images.append(img)
+
     return [np.clip(i, 0, 255).astype(np.uint8) for i in images]
 
 
@@ -176,11 +192,15 @@ def main() -> None:
     def loss_fn(lp, sel):
         preds = jax.vmap(lambda r, d: predict(lp, r, d))(refs[sel], dists[sel])
         g = gold[sel]
+        preds = jnp.clip(preds, 1e-4, 1e4)  # keep the log finite if a
+        # parameter excursion blows a prediction up mid-optimization
         return jnp.mean((jnp.log(preds + 0.25) - jnp.log(g + 0.25)) ** 2)
 
     import optax
 
-    opt = optax.adam(args.lr)
+    # Clipped adam in log-param space: the Malta/masking terms can produce
+    # spiky gradients; unclipped runs diverge to NaN.
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
     state = opt.init(log_params)
 
     @jax.jit
@@ -240,6 +260,7 @@ def main() -> None:
         f.write(f"W_HF = {final.w_hf.tolist()!r}\n")
         f.write(f"W_MF = {final.w_mf.tolist()!r}\n")
         f.write(f"W_LF = {final.w_lf.tolist()!r}\n")
+        f.write(f"W_MALTA = {final.w_malta.tolist()!r}\n")
         f.write(f"MASK_STRENGTH = {float(final.mask_strength)!r}\n")
         f.write(f"MASK_OFFSET = {float(final.mask_offset)!r}\n")
         f.write(f"OUT_SCALE = {float(final.out_scale)!r}\n")
