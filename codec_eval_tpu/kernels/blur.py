@@ -29,12 +29,13 @@ import numpy as np
 def gaussian_taps(sigma: float, radius: int | None = None) -> np.ndarray:
     """Normalized 1-D Gaussian taps.
 
-    Radius defaults to 6*sigma (tail mass < 1e-8), matching the effective
-    support of the reference's recursive Gaussian to well below metric
-    tolerance.
+    Radius defaults to 4.5*sigma: truncated tail mass < 4e-6 per side,
+    orders of magnitude below metric tolerance (the reference's recursive
+    Gaussian is itself only a ~1e-3-accurate Gaussian approximation), while
+    cutting ~20% of the blur work relative to a 6-sigma support.
     """
     if radius is None:
-        radius = max(1, int(math.ceil(6.0 * sigma)))
+        radius = max(1, int(math.ceil(4.5 * sigma)))
     n = np.arange(-radius, radius + 1, dtype=np.float64)
     taps = np.exp(-0.5 * (n / sigma) ** 2)
     taps /= taps.sum()
