@@ -1,0 +1,188 @@
+"""Pallas TPU kernel: fully-fused SSIMULACRA2 per-scale features.
+
+For one pyramid scale, the candidate side of SSIMULACRA2 needs, per channel:
+blur the three moment products (mu2, s22, s12), form the SSIM distance map
+and the ringing/detail-loss maps against the precomputed reference
+(xyb1, mu1, s11), and reduce six statistics (sum d, sum d^4, sum artifact,
+sum artifact^4, sum detail, sum detail^4).
+
+The XLA formulation materializes the blurred moments and maps in HBM between
+fusions.  This kernel does everything for a (channel, row-tile) in VMEM:
+halo slabs of xyb1/xyb2 are DMA'd in, both separable blur passes and all
+maps happen in registers, and only six scalars per tile leave the kernel.
+HBM traffic per scale drops to reading 4 planes per channel + ~nothing out.
+
+Geometry contract (caller-side): planes are padded to lane-aligned width
+with zeros, which matches the metric's zero boundary semantics; reductions
+are masked to the valid width in-kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..blur import gaussian_taps
+
+TILE_H = 128
+C2 = 0.0009
+
+
+def _hblur(x, taps, r):
+    w = x.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (r, r)))
+    out = taps[0] * xp[:, 0:w]
+    for i in range(1, len(taps)):
+        out = out + taps[i] * xp[:, i : i + w]
+    return out
+
+
+def _vblur(slab, taps, tile):
+    out = taps[0] * slab[0:tile, :]
+    for i in range(1, len(taps)):
+        out = out + taps[i] * slab[i : i + tile, :]
+    return out
+
+
+def _features_kernel(
+    x1_hbm, x2_hbm, mu1_ref, s11_ref,
+    d1_ref, d4_ref, a1_ref, a4_ref, l1_ref, l4_ref,
+    slab1, slab2, sems,
+    *, taps, r, tile, slab_rows, valid_w, valid_h,
+):
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+    row0 = t * tile
+
+    copy1 = pltpu.make_async_copy(
+        x1_hbm.at[c, pl.ds(row0, slab_rows), :], slab1, sems.at[0]
+    )
+    copy2 = pltpu.make_async_copy(
+        x2_hbm.at[c, pl.ds(row0, slab_rows), :], slab2, sems.at[1]
+    )
+    copy1.start()
+    copy2.start()
+    copy1.wait()
+    copy2.wait()
+
+    x1s = slab1[...]
+    x2s = slab2[...]
+    x1 = x1s[r : r + tile, :]
+    x2 = x2s[r : r + tile, :]
+    mu1 = mu1_ref[0]
+    s11 = s11_ref[0]
+
+    mu2 = _hblur(_vblur(x2s, taps, tile), taps, r)
+    s22 = _hblur(_vblur(x2s * x2s, taps, tile), taps, r)
+    s12 = _hblur(_vblur(x1s * x2s, taps, tile), taps, r)
+
+    mu11 = mu1 * mu1
+    mu22 = mu2 * mu2
+    mu12 = mu1 * mu2
+    mu_diff = mu1 - mu2
+    num_m = 1.0 - mu_diff * mu_diff
+    num_s = 2.0 * (s12 - mu12) + C2
+    denom_s = (s11 - mu11) + (s22 - mu22) + C2
+    d = jnp.maximum(1.0 - (num_m * num_s) / denom_s, 0.0)
+
+    detail1 = jnp.abs(x1 - mu1)
+    detail2 = jnp.abs(x2 - mu2)
+    ed = (1.0 + detail2) / (1.0 + detail1) - 1.0
+    artifact = jnp.maximum(ed, 0.0)
+    detail_lost = jnp.maximum(-ed, 0.0)
+
+    # Mask out lane padding and (for the last tile) row padding.
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + row0
+    mask = jnp.logical_and(col < valid_w, row < valid_h).astype(d.dtype)
+
+    d = d * mask
+    artifact = artifact * mask
+    detail_lost = detail_lost * mask
+
+    # Output blocks are (1, nt) SMEM rows indexed by channel; each grid step
+    # writes its tile's slot.
+    # Outputs are whole (C, nt) SMEM arrays; each grid step writes its slot.
+    d1_ref[c, t] = jnp.sum(d)
+    d4_ref[c, t] = jnp.sum(d * d * d * d)
+    a1_ref[c, t] = jnp.sum(artifact)
+    a4_ref[c, t] = jnp.sum(artifact**4)
+    l1_ref[c, t] = jnp.sum(detail_lost)
+    l4_ref[c, t] = jnp.sum(detail_lost**4)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma",))
+def scale_features_pallas(
+    xyb1: jnp.ndarray,
+    mu1: jnp.ndarray,
+    s11: jnp.ndarray,
+    xyb2: jnp.ndarray,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """One scale's features: (3, H, W) inputs -> (3, 2, 3) feature block
+    (norm x {ssim, artifact, detail}) matching ``_scale_features``."""
+    taps = tuple(float(t) for t in gaussian_taps(sigma))
+    r = len(taps) // 2
+    c, h, w = xyb1.shape
+
+    tile = min(TILE_H, ((h + 7) // 8) * 8)
+    hp = ((h + tile - 1) // tile) * tile
+    slab_rows = ((tile + 2 * r + 7) // 8) * 8
+    bottom = (slab_rows - tile - r) + (hp - h)
+    wp = ((w + 127) // 128) * 128
+
+    pad_halo = ((0, 0), (r, bottom), (0, wp - w))
+    pad_tile = ((0, 0), (0, hp - h), (0, wp - w))
+    x1p = jnp.pad(xyb1, pad_halo)
+    x2p = jnp.pad(xyb2, pad_halo)
+    mu1p = jnp.pad(mu1, pad_tile)
+    s11p = jnp.pad(s11, pad_tile)
+
+    nt = hp // tile
+    kernel = functools.partial(
+        _features_kernel,
+        taps=taps, r=r, tile=tile, slab_rows=slab_rows, valid_w=w, valid_h=h,
+    )
+    sum_shape = jax.ShapeDtypeStruct((c, nt), jnp.float32)
+    sum_spec = pl.BlockSpec((c, nt), lambda ci, ti: (0, 0),
+                            memory_space=pltpu.SMEM)
+    tile_spec = pl.BlockSpec((1, tile, wp), lambda ci, ti: (ci, ti, 0),
+                             memory_space=pltpu.VMEM)
+
+    sums = pl.pallas_call(
+        kernel,
+        grid=(c, nt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            tile_spec,
+            tile_spec,
+        ],
+        out_specs=tuple(sum_spec for _ in range(6)),
+        out_shape=tuple(sum_shape for _ in range(6)),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, wp), jnp.float32),
+            pltpu.VMEM((slab_rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x1p, x2p, mu1p, s11p)
+
+    n = jnp.float32(h * w)
+    d1, d4, a1, a4, l1, l4 = (s.sum(axis=1) for s in sums)
+    ssim_1 = d1 / n
+    ssim_4 = jnp.sqrt(jnp.sqrt(d4 / n))
+    art_1 = a1 / n
+    art_4 = jnp.sqrt(jnp.sqrt(a4 / n))
+    det_1 = l1 / n
+    det_4 = jnp.sqrt(jnp.sqrt(l4 / n))
+    return jnp.stack(
+        [
+            jnp.stack([ssim_1, art_1, det_1], axis=-1),
+            jnp.stack([ssim_4, art_4, det_4], axis=-1),
+        ],
+        axis=1,
+    )

@@ -126,6 +126,21 @@ def _scale_features(
     )
 
 
+import os
+
+#: Per-scale feature implementation: "xla" (fused XLA, default) or
+#: "pallas" (fully-fused Pallas kernel; TPU only).  A/B knob.
+SCALE_IMPL = os.environ.get("CODEC_EVAL_SSIM2_IMPL", "xla")
+
+
+def _scale_features_dispatch(xyb1, mu1, s11, xyb2):
+    if SCALE_IMPL == "pallas" and jax.default_backend() in ("tpu", "axon"):
+        from .pallas.scale_features import scale_features_pallas
+
+        return scale_features_pallas(xyb1, mu1, s11, xyb2, sigma=SIGMA)
+    return _scale_features(xyb1, mu1, s11, xyb2)
+
+
 def features_against_reference(
     ref: Ssimulacra2Reference, dist_u8: jnp.ndarray
 ) -> jnp.ndarray:
@@ -141,7 +156,9 @@ def features_against_reference(
             linear = downscale_by_2(linear)
         xyb2 = _to_positive_xyb(linear)
         per_scale.append(
-            _scale_features(ref.xyb[scale], ref.mu[scale], ref.sqblur[scale], xyb2)
+            _scale_features_dispatch(
+                ref.xyb[scale], ref.mu[scale], ref.sqblur[scale], xyb2
+            )
         )
     feats = jnp.stack(per_scale, axis=1)  # (3, 6, 2, 3)
     return feats.reshape(-1)
