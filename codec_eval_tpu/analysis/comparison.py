@@ -56,9 +56,15 @@ def _score_sweep_fn():
     import jax
     import jax.numpy as jnp
 
-    from ..kernels.butteraugli import butteraugli
+    from ..kernels.butteraugli import (
+        butteraugli_against_reference,
+        precompute_butteraugli_reference,
+    )
     from ..kernels.color import srgb_u8_to_linear
-    from ..kernels.dssim import dssim
+    from ..kernels.dssim import (
+        dssim_against_reference,
+        precompute_dssim_reference,
+    )
     from ..kernels.ssimulacra2 import (
         features_against_reference,
         precompute_reference,
@@ -67,13 +73,17 @@ def _score_sweep_fn():
 
     @jax.jit
     def score(ref_u8, batch_u8):
+        # All three reference-side precomputes are shared across the sweep.
         pre = precompute_reference(ref_u8)
         s2 = jax.vmap(
             lambda d: score_from_features(features_against_reference(pre, d))
         )(batch_u8)
-        ref_lin = srgb_u8_to_linear(ref_u8)
-        ds = jax.vmap(lambda d: dssim(ref_lin, srgb_u8_to_linear(d)))(batch_u8)
-        ba = jax.vmap(lambda d: butteraugli(ref_u8, d))(batch_u8)
+        dref = precompute_dssim_reference(srgb_u8_to_linear(ref_u8))
+        ds = jax.vmap(
+            lambda d: dssim_against_reference(dref, srgb_u8_to_linear(d))
+        )(batch_u8)
+        bref = precompute_butteraugli_reference(ref_u8)
+        ba = jax.vmap(lambda d: butteraugli_against_reference(bref, d))(batch_u8)
         return s2, ds, ba
 
     return score

@@ -51,7 +51,10 @@ def sweep_corpus(
     import jax
     import jax.numpy as jnp
 
-    from ..kernels.butteraugli import butteraugli
+    from ..kernels.butteraugli import (
+        butteraugli_against_reference,
+        precompute_butteraugli_reference,
+    )
     from ..kernels.ssimulacra2 import (
         features_against_reference,
         precompute_reference,
@@ -64,7 +67,8 @@ def sweep_corpus(
         s2 = jax.vmap(
             lambda d: score_from_features(features_against_reference(pre, d))
         )(batch_u8)
-        ba = jax.vmap(lambda d: butteraugli(ref_u8, d))(batch_u8)
+        bref = precompute_butteraugli_reference(ref_u8)
+        ba = jax.vmap(lambda d: butteraugli_against_reference(bref, d))(batch_u8)
         return s2, ba
 
     images = corpus.images[:limit] if limit else corpus.images

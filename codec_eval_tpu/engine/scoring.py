@@ -26,8 +26,14 @@ import numpy as np
 # re-exports functions whose names shadow their submodules.
 from ..kernels.color import srgb_u8_to_linear as _srgb_u8_to_linear
 from ..kernels.color import xyb_roundtrip as _xyb_roundtrip
-from ..kernels.dssim import dssim as _dssim_kernel
-from ..kernels.butteraugli import butteraugli as _butteraugli_kernel
+from ..kernels.dssim import (
+    dssim_against_reference as _dssim_against,
+    precompute_dssim_reference as _dssim_precompute,
+)
+from ..kernels.butteraugli import (
+    butteraugli_against_reference as _butteraugli_against,
+    precompute_butteraugli_reference as _butteraugli_precompute,
+)
 from ..kernels.ssimulacra2 import ssimulacra2_batch as _ssimulacra2_batch
 from ..kernels.psnr import psnr as _psnr_kernel
 from ..metrics import MetricConfig, MetricResult
@@ -59,16 +65,26 @@ def _build_scorer(
         if psnr:
             out["psnr"] = jax.vmap(lambda d: _psnr_kernel(ref_u8, d))(batch_u8)
         if dssim:
-            ref_lin = _srgb_u8_to_linear(ref_u8)
-            out["dssim"] = jax.vmap(
-                lambda d: _dssim_kernel(ref_lin, _srgb_u8_to_linear(d))
-            )(batch_u8)
+            # Reference Lab pyramid + moments computed once, broadcast over
+            # the candidate batch (exact-zero identity guarantee preserved
+            # via the byte-equality select).
+            dref = _dssim_precompute(_srgb_u8_to_linear(ref_u8))
+
+            def one_dssim(d):
+                val = _dssim_against(dref, _srgb_u8_to_linear(d))
+                return jnp.where(jnp.all(ref_u8 == d), jnp.zeros_like(val), val)
+
+            out["dssim"] = jax.vmap(one_dssim)(batch_u8)
         if ssimulacra2:
             out["ssimulacra2"] = _ssimulacra2_batch(ref_u8, batch_u8)
         if butteraugli:
-            out["butteraugli"] = jax.vmap(lambda d: _butteraugli_kernel(ref_u8, d))(
-                batch_u8
-            )
+            bref = _butteraugli_precompute(ref_u8)
+
+            def one_ba(d):
+                val = _butteraugli_against(bref, d)
+                return jnp.where(jnp.all(ref_u8 == d), jnp.zeros_like(val), val)
+
+            out["butteraugli"] = jax.vmap(one_ba)(batch_u8)
         return out
 
     return jax.jit(score)

@@ -78,6 +78,75 @@ def _scale_ssim(ch1: jnp.ndarray, ch2: jnp.ndarray) -> jnp.ndarray:
     return ssim_map.mean(axis=(1, 2))
 
 
+from typing import NamedTuple
+
+
+class DssimReference(NamedTuple):
+    """Per-scale precomputed reference data (Lab pyramid + blurred moments),
+    reused across candidates — the same amortization as
+    ``Ssimulacra2Reference`` (crates/codec-iter/src/eval.rs:138)."""
+
+    lab: tuple  # per scale: (3, h, w)
+    mu: tuple  # blur(lab)
+    sqblur: tuple  # blur(lab*lab)
+
+
+def precompute_dssim_reference(ref_linear: jnp.ndarray) -> DssimReference:
+    """ref_linear: (3, H, W) or (H, W, 3) linear-light RGB."""
+    if ref_linear.shape[-1] == 3 and ref_linear.ndim == 3:
+        ref_linear = jnp.moveaxis(ref_linear, -1, 0)
+    lab = _linear_rgb_to_lab_planes(ref_linear)
+    labs, mus, sqs = [], [], []
+    for scale in range(len(SCALE_WEIGHTS)):
+        if scale:
+            lab = downscale_by_2(lab)
+        blurred = blur_separable(jnp.concatenate([lab, lab * lab], axis=0), SIGMA)
+        labs.append(lab)
+        mus.append(blurred[:3])
+        sqs.append(blurred[3:])
+    return DssimReference(tuple(labs), tuple(mus), tuple(sqs))
+
+
+def _scale_ssim_against(
+    lab1: jnp.ndarray, mu1: jnp.ndarray, s11: jnp.ndarray, lab2: jnp.ndarray
+) -> jnp.ndarray:
+    """Mean SSIM per channel using precomputed reference moments."""
+    stacked = jnp.concatenate([lab2, lab2 * lab2, lab1 * lab2], axis=0)
+    blurred = blur_separable(stacked, SIGMA)
+    mu2, s22, s12 = blurred[0:3], blurred[3:6], blurred[6:9]
+    mu11, mu22, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    var1 = s11 - mu11
+    var2 = s22 - mu22
+    cov = s12 - mu12
+    ssim_map = ((2.0 * mu12 + C1) * (2.0 * cov + C2)) / (
+        (mu11 + mu22 + C1) * (var1 + var2 + C2)
+    )
+    return ssim_map.mean(axis=(1, 2))
+
+
+def dssim_against_reference(
+    ref: DssimReference, dist_linear: jnp.ndarray
+) -> jnp.ndarray:
+    """Raw->calibrated DSSIM of one candidate vs a precomputed reference."""
+    if dist_linear.shape[-1] == 3 and dist_linear.ndim == 3:
+        dist_linear = jnp.moveaxis(dist_linear, -1, 0)
+    lab2 = _linear_rgb_to_lab_planes(dist_linear)
+    cweights = jnp.asarray(CHANNEL_WEIGHTS)
+    total = jnp.asarray(0.0, dtype=lab2.dtype)
+    weight_sum = 0.0
+    for scale, sweight in enumerate(SCALE_WEIGHTS):
+        if scale:
+            lab2 = downscale_by_2(lab2)
+        per_channel = _scale_ssim_against(
+            ref.lab[scale], ref.mu[scale], ref.sqblur[scale], lab2
+        )
+        combined = jnp.sum(per_channel * cweights) / jnp.sum(cweights)
+        total = total + sweight * combined
+        weight_sum += sweight
+    ssim = jnp.clip(total / weight_sum, 1e-6, 1.0)
+    return _calibrate_scale(1.0 / ssim - 1.0)
+
+
 def dssim(ref_linear: jnp.ndarray, dist_linear: jnp.ndarray) -> jnp.ndarray:
     """DSSIM over linear-light RGB planes or HWC arrays.
 
