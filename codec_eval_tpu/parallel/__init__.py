@@ -10,3 +10,7 @@ __all__ = [
     "shard_batch",
     "sharded_score_fn",
 ]
+
+from .corpus_runner import CorpusScores, score_pairs_sharded
+
+__all__ += ["CorpusScores", "score_pairs_sharded"]

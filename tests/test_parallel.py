@@ -52,3 +52,28 @@ def test_batch_only_mesh():
 def test_mesh_shape_validation():
     with pytest.raises(AssertionError):
         make_mesh(n_batch=64, n_space=2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_score_pairs_sharded_buckets_and_padding():
+    from codec_eval_tpu.parallel import score_pairs_sharded, make_mesh
+
+    mesh = make_mesh(n_batch=4, n_space=1)
+    rng = np.random.default_rng(1)
+    pairs = []
+    # Two shape buckets, neither count divisible by the batch axis (4).
+    for shape in [(32, 32), (24, 40)]:
+        for _ in range(3):
+            ref = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+            dist = np.clip(
+                ref.astype(np.int16) + rng.integers(-6, 7, ref.shape), 0, 255
+            ).astype(np.uint8)
+            pairs.append((ref, dist))
+    out = score_pairs_sharded(
+        pairs, mesh=mesh, dssim=False, butteraugli=False, ssimulacra2=False
+    )
+    assert len(out.per_pair) == 6
+    assert all(np.isfinite(p["psnr"]) for p in out.per_pair)
+    assert out.means["psnr"] == pytest.approx(
+        np.mean([p["psnr"] for p in out.per_pair])
+    )
