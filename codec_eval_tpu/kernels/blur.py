@@ -83,22 +83,31 @@ def _banded_matrix(n: int, sigma: float) -> np.ndarray:
     return m
 
 
+#: MXU accumulation precision for the matmul blur:
+#:   "highest" (default) — 6-pass bf16 ~= true f32 (blur error ~2e-7);
+#:   "high" — 3-pass bf16: ~28% faster sweeps, SSIMULACRA2 scores drift by
+#:   up to ~0.02 points.  Set CODEC_EVAL_BLUR_PRECISION=high for iteration
+#:   loops where raw throughput matters more than the last 0.02 points.
+BLUR_PRECISION = os.environ.get("CODEC_EVAL_BLUR_PRECISION", "highest")
+
+
 def _blur_matmul(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Separable blur as two banded matmuls — rides the MXU.
 
     The FIR formulations shift along the lane dimension, which lowers to
     expensive lane shuffles; a banded (N, N) contraction trades ~50x more
-    FLOPs for MXU throughput and no shuffles.  f32 via Precision.HIGHEST.
+    FLOPs for MXU throughput and no shuffles.
     """
+    prec = (
+        jax.lax.Precision.HIGH
+        if BLUR_PRECISION == "high"
+        else jax.lax.Precision.HIGHEST
+    )
     c, h, w = planes.shape
     th = jnp.asarray(_banded_matrix(h, sigma))
     tw = jnp.asarray(_banded_matrix(w, sigma))
-    x = jnp.einsum(
-        "hk,ckw->chw", th, planes, precision=jax.lax.Precision.HIGHEST
-    )
-    return jnp.einsum(
-        "chw,kw->chk", x, tw, precision=jax.lax.Precision.HIGHEST
-    )
+    x = jnp.einsum("hk,ckw->chw", th, planes, precision=prec)
+    return jnp.einsum("chw,kw->chk", x, tw, precision=prec)
 
 
 def _blur_shifted(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
