@@ -254,3 +254,18 @@ __all__ = [
     "ViewingCondition",
     "presets",
 ]
+
+
+def simulate_viewing(image_u8, params: "SimulationParams", method: str = "linear"):
+    """Apply viewing simulation to pixels (device resize in linear light).
+
+    The reference prescribes this transform but leaves resampling
+    unimplemented (src/viewing.rs:244-301); see
+    codec_eval_tpu.kernels.resize for the XLA implementation.
+    """
+    from ..kernels.resize import simulate_viewing as _impl
+
+    return _impl(image_u8, params, method=method)
+
+
+__all__.append("simulate_viewing")

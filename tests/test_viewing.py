@@ -123,3 +123,37 @@ def test_json_roundtrip():
     c = presets.srcset_2x_on_phone()
     c2 = ViewingCondition.from_json(c.to_json())
     assert c2 == c
+
+
+def test_simulate_viewing_resizes():
+    import numpy as np
+
+    from codec_eval_tpu.viewing import simulate_viewing
+
+    img = np.random.default_rng(0).integers(0, 256, (40, 60, 3)).astype(np.uint8)
+    c = ViewingCondition.desktop().with_browser_dppx(1.0).with_image_intrinsic_dppx(2.0)
+    p = c.simulation_params(60, 40, SimulationMode.ACCURATE)
+    out = simulate_viewing(img, p)
+    assert out.shape == (80, 120, 3)
+    assert out.dtype == np.uint8
+
+    # No scaling required -> unchanged object.
+    p1 = ViewingCondition.desktop().simulation_params(60, 40, SimulationMode.ACCURATE)
+    assert simulate_viewing(img, p1) is img
+
+
+def test_simulate_viewing_downscale_antialiased():
+    import numpy as np
+
+    from codec_eval_tpu.viewing import simulate_viewing
+
+    # 1px checkerboard downscaled 2x must average toward mid-gray, not alias.
+    y, x = np.mgrid[0:64, 0:64]
+    img = np.stack([(((x + y) % 2) * 255).astype(np.uint8)] * 3, -1)
+    c = ViewingCondition.desktop().with_browser_dppx(2.0).with_image_intrinsic_dppx(1.0)
+    # oversized simulation: ratio 2 means downscale... use intrinsic 1 browser 2 -> 0.5
+    p = c.simulation_params(64, 64, SimulationMode.ACCURATE)
+    out = simulate_viewing(img, p)
+    assert out.shape == (32, 32, 3)
+    mean = out.astype(np.float64).mean()
+    assert 150 < mean < 210  # linear-light average of 0/255 checker ~ 188
