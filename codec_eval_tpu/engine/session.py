@@ -93,6 +93,11 @@ class EvalConfigBuilder:
     def build(self) -> EvalConfig:
         if self._report_dir is None:
             raise ValueError("report_dir is required")
+        from ..errors import InvalidQuality
+
+        for q in self._quality_levels or []:
+            if not 0.0 <= q <= 100.0:
+                raise InvalidQuality(q)
         return EvalConfig(
             report_dir=self._report_dir,
             cache_dir=self._cache_dir,

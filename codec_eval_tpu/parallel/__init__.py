@@ -14,3 +14,7 @@ __all__ = [
 from .corpus_runner import CorpusScores, score_pairs_sharded
 
 __all__ += ["CorpusScores", "score_pairs_sharded"]
+
+from . import multihost
+
+__all__ += ["multihost"]
