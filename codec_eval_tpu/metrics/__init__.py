@@ -192,3 +192,26 @@ class PerceptionLevel(enum.Enum):
 
 
 __all__ = ["MetricConfig", "MetricResult", "PerceptionLevel"]
+
+
+from .calculate import (  # noqa: E402,F401
+    calculate_butteraugli,
+    calculate_butteraugli_icc,
+    calculate_butteraugli_with_intensity,
+    calculate_dssim,
+    calculate_dssim_icc,
+    calculate_psnr,
+    calculate_ssimulacra2,
+    calculate_ssimulacra2_icc,
+)
+
+__all__ += [
+    "calculate_butteraugli",
+    "calculate_butteraugli_icc",
+    "calculate_butteraugli_with_intensity",
+    "calculate_dssim",
+    "calculate_dssim_icc",
+    "calculate_psnr",
+    "calculate_ssimulacra2",
+    "calculate_ssimulacra2_icc",
+]

@@ -8,6 +8,7 @@ import numpy as np
 import pytest
 
 from codec_eval_tpu import (
+    DimensionMismatch,
     EvalConfig,
     EvalSession,
     ImageData,
@@ -206,3 +207,31 @@ def test_json_inf_clamped(tmp_path):
     write_json(report, tmp_path / "inf.json")
     d = json.loads((tmp_path / "inf.json").read_text())
     assert d["results"][0]["metrics"]["psnr"] == 1e308
+
+
+def test_calculate_entry_points():
+    """Flat calculate_* API parity (buffers + width/height signatures)."""
+    from codec_eval_tpu.metrics import (
+        calculate_butteraugli_with_intensity,
+        calculate_psnr,
+        calculate_ssimulacra2,
+        calculate_ssimulacra2_icc,
+    )
+
+    img = _image(24, 24)
+    noisy = np.clip(
+        img.astype(np.int16) + np.random.default_rng(0).integers(-8, 9, img.shape),
+        0, 255,
+    ).astype(np.uint8)
+
+    # Flat-buffer + dims signature, as the reference takes &[u8].
+    s2 = calculate_ssimulacra2(img.tobytes(), noisy.tobytes(), 24, 24)
+    assert 0 < s2 < 100
+    assert calculate_psnr(img, img) == float("inf")
+    ba = calculate_butteraugli_with_intensity(img, noisy, intensity_target=250.0)
+    assert ba > 0
+    # ICC variant with sRGB profiles is a passthrough.
+    assert calculate_ssimulacra2_icc(img, noisy) == pytest.approx(s2, abs=1e-3)
+
+    with pytest.raises(DimensionMismatch):
+        calculate_psnr(img, _image(12, 12))
