@@ -10,9 +10,7 @@ the same architectural choice the reference makes (SURVEY.md §2.4): only
 from __future__ import annotations
 
 import abc
-from typing import Callable, Optional
-
-import numpy as np
+from typing import Callable
 
 from ..engine.image import ImageData
 from ..engine.session import EncodeRequest

@@ -8,11 +8,9 @@ per-codec BD-rates with a BETTER/WORSE/SIMILAR summary at the +-5% band.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 from typing import Callable, Dict, List, Optional
-
-import numpy as np
 
 from ..engine import CorpusReport, EvalConfig, EvalSession, ImageData
 from ..corpus import Corpus

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import List, Optional
+from typing import List
 
 from ..engine import EvalConfig, EvalSession, ImageData, ImageReport, CorpusReport
 from ..metrics import MetricConfig

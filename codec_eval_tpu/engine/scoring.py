@@ -16,7 +16,7 @@ padded to a bucket size so a whole quality sweep hits one compilation.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

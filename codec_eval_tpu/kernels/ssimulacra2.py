@@ -24,7 +24,7 @@ score.  See ssimulacra2_weights.py for scoring constants.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

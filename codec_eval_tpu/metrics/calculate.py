@@ -10,7 +10,7 @@ knob.  All scoring runs through the device kernels.
 
 from __future__ import annotations
 
-from typing import Optional, Union
+from typing import Optional
 
 import numpy as np
 

@@ -20,8 +20,7 @@ Two mesh axes:
 
 from __future__ import annotations
 
-import math
-from typing import Dict, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ tests/test_parallel.py, and `partition_corpus` is pure logic.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
