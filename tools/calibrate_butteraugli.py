@@ -263,6 +263,7 @@ def main() -> None:
         f.write(f"W_MALTA = {final.w_malta.tolist()!r}\n")
         f.write(f"MASK_STRENGTH = {float(final.mask_strength)!r}\n")
         f.write(f"MASK_OFFSET = {float(final.mask_offset)!r}\n")
+        f.write(f"MASK_POWER = {float(final.mask_power)!r}\n")
         f.write(f"OUT_SCALE = {float(final.out_scale)!r}\n")
         f.write(f"OPSIN_BIAS = {float(final.opsin_bias)!r}\n")
     print(f"wrote {out_path}")
