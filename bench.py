@@ -84,8 +84,15 @@ def main() -> None:
     inputs = [make_inputs(seed) for seed in range(reps + 1)]
     jax.block_until_ready(inputs)
 
-    # Warmup / compile.
-    jax.block_until_ready(sweep(*inputs[0]))
+    # Warmup / compile — and a correctness guard so a perf regression can
+    # never hide behind wrong results: scores must be finite, <= 100, and an
+    # identical pair must score exactly 100.
+    warm = np.asarray(sweep(*inputs[0]))
+    assert np.isfinite(warm).all() and (warm <= 100.0).all(), warm
+    ident = np.asarray(
+        sweep(inputs[0][0], jnp.broadcast_to(inputs[0][0], inputs[0][1].shape))
+    )
+    assert np.allclose(ident, 100.0, atol=1e-3), ident[:3]
 
     t0 = time.perf_counter()
     outs = [sweep(*inputs[1 + i]) for i in range(reps)]
