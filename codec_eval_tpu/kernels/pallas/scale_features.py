@@ -15,6 +15,13 @@ HBM traffic per scale drops to reading 4 planes per channel + ~nothing out.
 Geometry contract (caller-side): planes are padded to lane-aligned width
 with zeros, which matches the metric's zero boundary semantics; reductions
 are masked to the valid width in-kernel.
+
+Status: bit-exact vs the XLA path; wall-clock parity within run noise (the
+slab DMA is double-buffered across grid steps, but the in-kernel blurs are
+still lane-shift FIRs).  Single-pair only — the ANY-space inputs cannot
+carry a vmap batch dimension yet, so batched sweeps keep the XLA path; the
+next step is folding the candidate batch into the grid and moving the blurs
+onto the MXU within the VMEM budget (see ROADMAP.md).
 """
 
 from __future__ import annotations
@@ -28,7 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..blur import gaussian_taps
 
-TILE_H = 128
+TILE_H = 96
 C2 = 0.0009
 
 
@@ -54,23 +61,53 @@ def _features_kernel(
     slab1, slab2, sems,
     *, taps, r, tile, slab_rows, valid_w, valid_h,
 ):
+    # Double-buffered slab pipeline across grid steps: each step starts the
+    # NEXT step's DMA into the other slot before waiting on its own (which
+    # the previous step already started), so slab transfer overlaps compute.
     c = pl.program_id(0)
     t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    nc = pl.num_programs(0)
+    k = c * nt + t
+    total = nc * nt
+    slot = jax.lax.rem(k, 2)
+    next_slot = jax.lax.rem(k + 1, 2)
     row0 = t * tile
 
-    copy1 = pltpu.make_async_copy(
-        x1_hbm.at[c, pl.ds(row0, slab_rows), :], slab1, sems.at[0]
-    )
-    copy2 = pltpu.make_async_copy(
-        x2_hbm.at[c, pl.ds(row0, slab_rows), :], slab2, sems.at[1]
-    )
-    copy1.start()
-    copy2.start()
-    copy1.wait()
-    copy2.wait()
+    def dmas(kk, slot_idx):
+        cc = jax.lax.div(kk, nt)
+        rr = jax.lax.rem(kk, nt) * tile
+        return (
+            pltpu.make_async_copy(
+                x1_hbm.at[cc, pl.ds(rr, slab_rows), :],
+                slab1.at[slot_idx],
+                sems.at[slot_idx, 0],
+            ),
+            pltpu.make_async_copy(
+                x2_hbm.at[cc, pl.ds(rr, slab_rows), :],
+                slab2.at[slot_idx],
+                sems.at[slot_idx, 1],
+            ),
+        )
 
-    x1s = slab1[...]
-    x2s = slab2[...]
+    @pl.when(k == 0)
+    def _():
+        a, b = dmas(k, slot)
+        a.start()
+        b.start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        a, b = dmas(k + 1, next_slot)
+        a.start()
+        b.start()
+
+    a, b = dmas(k, slot)
+    a.wait()
+    b.wait()
+
+    x1s = slab1[slot]
+    x2s = slab2[slot]
     x1 = x1s[r : r + tile, :]
     x2 = x2s[r : r + tile, :]
     mu1 = mu1_ref[0]
@@ -104,8 +141,6 @@ def _features_kernel(
     artifact = artifact * mask
     detail_lost = detail_lost * mask
 
-    # Output blocks are (1, nt) SMEM rows indexed by channel; each grid step
-    # writes its tile's slot.
     # Outputs are whole (C, nt) SMEM arrays; each grid step writes its slot.
     d1_ref[c, t] = jnp.sum(d)
     d4_ref[c, t] = jnp.sum(d * d * d * d)
@@ -165,9 +200,9 @@ def scale_features_pallas(
         out_specs=tuple(sum_spec for _ in range(6)),
         out_shape=tuple(sum_shape for _ in range(6)),
         scratch_shapes=[
-            pltpu.VMEM((slab_rows, wp), jnp.float32),
-            pltpu.VMEM((slab_rows, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, slab_rows, wp), jnp.float32),
+            pltpu.VMEM((2, slab_rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )(x1p, x2p, mu1p, s11p)
 
