@@ -55,6 +55,15 @@ class EvalConfig:
     metrics: MetricConfig = field(default_factory=MetricConfig.all)
     quality_levels: List[float] = field(default_factory=lambda: list(DEFAULT_QUALITY_LEVELS))
 
+    def __post_init__(self) -> None:
+        # Validate on every construction path (builder, registry, direct) —
+        # codecs silently clamp out-of-range qualities otherwise.
+        from ..errors import InvalidQuality
+
+        for q in self.quality_levels:
+            if not 0.0 <= q <= 100.0:
+                raise InvalidQuality(q)
+
     @classmethod
     def builder(cls) -> "EvalConfigBuilder":
         return EvalConfigBuilder()
