@@ -69,3 +69,22 @@ def test_cache_dir_writes_artifacts(tmp_path):
     p = Path(r.cached_path)
     assert p.exists()
     assert p.stat().st_size == r.file_size
+
+
+def test_xyb_roundtrip_config_path(tmp_path):
+    """perceptual_xyb roundtrips the reference before scoring: scores differ
+    from the plain config on the same pair (reference: session.rs:447-455)."""
+    import numpy as np
+
+    from codec_eval_tpu import evaluate_single
+
+    rng = np.random.default_rng(9)
+    ref = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    dist = np.clip(ref.astype(np.int16) + rng.integers(-6, 7, ref.shape), 0, 255
+                   ).astype(np.uint8)
+    plain = evaluate_single(ref, dist, MetricConfig(ssimulacra2=True))
+    xyb = evaluate_single(
+        ref, dist, MetricConfig(ssimulacra2=True, xyb_roundtrip=True)
+    )
+    assert plain.ssimulacra2 != xyb.ssimulacra2
+    assert abs(plain.ssimulacra2 - xyb.ssimulacra2) < 20.0
