@@ -238,3 +238,48 @@ def test_dssim_alias_ssim(tmp_path):
     p.write_text("image,codec,ms-ssim\nx.png,jpeg,0.002\n")
     rows = CsvImporter.auto_detect().import_file(p)
     assert rows[0].dssim == 0.002
+
+
+def test_sparse_checkout_local_repo(tmp_path):
+    """Drive the git subprocess wrapper against a real local repository."""
+    import subprocess
+
+    from codec_eval_tpu.corpus import SparseCheckout
+
+    repo = tmp_path / "repo"
+    repo.mkdir()
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args], cwd=repo, check=True, capture_output=True,
+            env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                 "HOME": str(tmp_path), "PATH": "/usr/bin:/bin:/usr/local/bin"},
+        )
+
+    git("init", "-q")
+    (repo / "photo").mkdir()
+    (repo / "photo" / "a.png").write_bytes(b"x")
+    (repo / "docs").mkdir()
+    (repo / "docs" / "readme.md").write_text("hi")
+    git("add", "-A")
+    git("commit", "-q", "-m", "init")
+
+    sc = SparseCheckout.init(repo)
+    sc.set_paths(["photo"])
+    patterns = sc.list_patterns()
+    assert "photo" in patterns
+    status = sc.status()
+    assert status.enabled
+    assert status.total_files == 2
+    preview = sc.preview_patterns(["**/*.png"])
+    assert preview == ["photo/a.png"]
+    sc.disable()
+    assert not sc.status().enabled
+
+
+def test_sparse_open_not_a_repo(tmp_path):
+    from codec_eval_tpu.corpus import SparseCheckout
+
+    with pytest.raises(CorpusError, match="Not a git repository"):
+        SparseCheckout.open(tmp_path)
