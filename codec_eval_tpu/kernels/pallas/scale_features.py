@@ -221,3 +221,183 @@ def scale_features_pallas(
         ],
         axis=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched variant: candidate batch folded into the grid
+# ---------------------------------------------------------------------------
+
+
+def _features_kernel_batch(
+    x1_hbm, x2_hbm, mu1_ref, s11_ref,
+    d1_ref, d4_ref, a1_ref, a4_ref, l1_ref, l4_ref,
+    ref_slab, slab2, sems,
+    *, taps, r, tile, slab_rows, valid_w, valid_h, n_cand,
+):
+    """Grid (C, nt, N): the innermost axis sweeps candidates, so the
+    reference slab (and the mu1/s11 VMEM blocks, whose index map ignores n)
+    load once per (channel, tile) and are reused across the whole batch;
+    only the candidate slab streams, double-buffered across steps."""
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+    n = pl.program_id(2)
+    nt = pl.num_programs(1)
+    nc = pl.num_programs(0)
+    k = (c * nt + t) * n_cand + n
+    total = nc * nt * n_cand
+    slot = jax.lax.rem(k, 2)
+    next_slot = jax.lax.rem(k + 1, 2)
+    row0 = t * tile
+
+    def cand_dma(kk, slot_idx):
+        cc = jax.lax.div(kk, nt * n_cand)
+        rest = jax.lax.rem(kk, nt * n_cand)
+        tt = jax.lax.div(rest, n_cand)
+        nn = jax.lax.rem(rest, n_cand)
+        return pltpu.make_async_copy(
+            x2_hbm.at[nn, cc, pl.ds(tt * tile, slab_rows), :],
+            slab2.at[slot_idx],
+            sems.at[slot_idx, 0],
+        )
+
+    @pl.when(k == 0)
+    def _():
+        cand_dma(k, slot).start()
+
+    @pl.when(n == 0)
+    def _():
+        # New (c, t): (re)load the shared reference slab.
+        pltpu.make_async_copy(
+            x1_hbm.at[c, pl.ds(row0, slab_rows), :], ref_slab, sems.at[0, 1]
+        ).start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        cand_dma(k + 1, next_slot).start()
+
+    cand_dma(k, slot).wait()
+
+    @pl.when(n == 0)
+    def _():
+        pltpu.make_async_copy(
+            x1_hbm.at[c, pl.ds(row0, slab_rows), :], ref_slab, sems.at[0, 1]
+        ).wait()
+
+    x1s = ref_slab[...]
+    x2s = slab2[slot]
+    x1 = x1s[r : r + tile, :]
+    x2 = x2s[r : r + tile, :]
+    mu1 = mu1_ref[0]
+    s11 = s11_ref[0]
+
+    mu2 = _hblur(_vblur(x2s, taps, tile), taps, r)
+    s22 = _hblur(_vblur(x2s * x2s, taps, tile), taps, r)
+    s12 = _hblur(_vblur(x1s * x2s, taps, tile), taps, r)
+
+    mu11 = mu1 * mu1
+    mu22 = mu2 * mu2
+    mu12 = mu1 * mu2
+    mu_diff = mu1 - mu2
+    num_m = 1.0 - mu_diff * mu_diff
+    num_s = 2.0 * (s12 - mu12) + C2
+    denom_s = (s11 - mu11) + (s22 - mu22) + C2
+    d = jnp.maximum(1.0 - (num_m * num_s) / denom_s, 0.0)
+
+    detail1 = jnp.abs(x1 - mu1)
+    detail2 = jnp.abs(x2 - mu2)
+    ed = (1.0 + detail2) / (1.0 + detail1) - 1.0
+    artifact = jnp.maximum(ed, 0.0)
+    detail_lost = jnp.maximum(-ed, 0.0)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0) + row0
+    mask = jnp.logical_and(col < valid_w, row < valid_h).astype(d.dtype)
+    d = d * mask
+    artifact = artifact * mask
+    detail_lost = detail_lost * mask
+
+    d1_ref[n, c, t] = jnp.sum(d)
+    d4_ref[n, c, t] = jnp.sum(d * d * d * d)
+    a1_ref[n, c, t] = jnp.sum(artifact)
+    a4_ref[n, c, t] = jnp.sum(artifact**4)
+    l1_ref[n, c, t] = jnp.sum(detail_lost)
+    l4_ref[n, c, t] = jnp.sum(detail_lost**4)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma",))
+def scale_features_pallas_batch(
+    xyb1: jnp.ndarray,
+    mu1: jnp.ndarray,
+    s11: jnp.ndarray,
+    xyb2_batch: jnp.ndarray,
+    sigma: float = 1.5,
+) -> jnp.ndarray:
+    """Batched per-scale features: (3,H,W) reference vs (N,3,H,W) candidates
+    -> (N, 3, 2, 3) feature blocks in one kernel launch."""
+    taps = tuple(float(t) for t in gaussian_taps(sigma))
+    r = len(taps) // 2
+    c, h, w = xyb1.shape
+    n_cand = xyb2_batch.shape[0]
+
+    tile = min(TILE_H, ((h + 7) // 8) * 8)
+    hp = ((h + tile - 1) // tile) * tile
+    slab_rows = ((tile + 2 * r + 7) // 8) * 8
+    bottom = (slab_rows - tile - r) + (hp - h)
+    wp = ((w + 127) // 128) * 128
+
+    pad_halo = ((0, 0), (r, bottom), (0, wp - w))
+    x1p = jnp.pad(xyb1, pad_halo)
+    x2p = jnp.pad(xyb2_batch, ((0, 0),) + pad_halo)
+    pad_tile = ((0, 0), (0, hp - h), (0, wp - w))
+    mu1p = jnp.pad(mu1, pad_tile)
+    s11p = jnp.pad(s11, pad_tile)
+
+    nt = hp // tile
+    kernel = functools.partial(
+        _features_kernel_batch,
+        taps=taps, r=r, tile=tile, slab_rows=slab_rows,
+        valid_w=w, valid_h=h, n_cand=n_cand,
+    )
+    sum_shape = jax.ShapeDtypeStruct((n_cand, c, nt), jnp.float32)
+    sum_spec = pl.BlockSpec(
+        (n_cand, c, nt), lambda ci, ti, ni: (0, 0, 0), memory_space=pltpu.SMEM
+    )
+    tile_spec = pl.BlockSpec(
+        (1, tile, wp), lambda ci, ti, ni: (ci, ti, 0), memory_space=pltpu.VMEM
+    )
+
+    sums = pl.pallas_call(
+        kernel,
+        grid=(c, nt, n_cand),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            tile_spec,
+            tile_spec,
+        ],
+        out_specs=tuple(sum_spec for _ in range(6)),
+        out_shape=tuple(sum_shape for _ in range(6)),
+        scratch_shapes=[
+            pltpu.VMEM((slab_rows, wp), jnp.float32),
+            pltpu.VMEM((2, slab_rows, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )(x1p, x2p, mu1p, s11p)
+
+    nn = jnp.float32(h * w)
+    d1, d4, a1, a4, l1, l4 = (s.sum(axis=2) for s in sums)  # (N, C)
+    feats = jnp.stack(
+        [
+            jnp.stack([d1 / nn, a1 / nn, l1 / nn], axis=-1),
+            jnp.stack(
+                [
+                    jnp.sqrt(jnp.sqrt(d4 / nn)),
+                    jnp.sqrt(jnp.sqrt(a4 / nn)),
+                    jnp.sqrt(jnp.sqrt(l4 / nn)),
+                ],
+                axis=-1,
+            ),
+        ],
+        axis=2,
+    )  # (N, C, 2, 3)
+    return feats

@@ -128,9 +128,19 @@ def _scale_features(
 
 import os
 
-#: Per-scale feature implementation: "xla" (fused XLA, default) or
-#: "pallas" (fully-fused Pallas kernel; TPU only).  A/B knob.
+#: Per-scale feature implementation: "xla" (default) or "pallas" (TPU only).
+#: The fused batched Pallas kernel keeps the reference slab VMEM-resident
+#: across the whole candidate batch and reduces in-kernel; it matches the
+#: XLA path to ~5e-4 (reduction-order differences) and ties it on wall
+#: clock within the chip's run-to-run variance, so the more battle-tested
+#: XLA formulation stays default.
 SCALE_IMPL = os.environ.get("CODEC_EVAL_SSIM2_IMPL", "xla")
+
+
+def _use_pallas_batch() -> bool:
+    if SCALE_IMPL != "pallas":
+        return False
+    return jax.default_backend() in ("tpu", "axon")
 
 
 def _scale_features_dispatch(xyb1, mu1, s11, xyb2):
@@ -198,6 +208,8 @@ def ssimulacra2_batch(ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray) -> jnp.nd
     The reference precompute is shared across the batch — the TPU analog of
     reusing ``Ssimulacra2Reference`` across a quality sweep.
     """
+    if _use_pallas_batch():
+        return _ssimulacra2_batch_pallas(ref_u8, dist_batch_u8)
     ref = precompute_reference(ref_u8)
 
     def one(d):
@@ -206,3 +218,31 @@ def ssimulacra2_batch(ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray) -> jnp.nd
         return jnp.where(identical, jnp.asarray(100.0, score.dtype), score)
 
     return jax.vmap(one)(dist_batch_u8)
+
+
+def _ssimulacra2_batch_pallas(
+    ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray
+) -> jnp.ndarray:
+    """Batched sweep through the fused Pallas per-scale kernel: one kernel
+    launch per scale covers the whole candidate batch, with the reference
+    slab resident across candidates."""
+    from .pallas.scale_features import scale_features_pallas_batch
+
+    ref = precompute_reference(ref_u8)
+    linear = jax.vmap(lambda d: jnp.moveaxis(srgb_u8_to_linear(d), -1, 0))(
+        dist_batch_u8
+    )
+    per_scale = []
+    for scale in range(NUM_SCALES):
+        if scale:
+            linear = jax.vmap(downscale_by_2)(linear)
+        xyb2 = jax.vmap(_to_positive_xyb)(linear)
+        per_scale.append(
+            scale_features_pallas_batch(
+                ref.xyb[scale], ref.mu[scale], ref.sqblur[scale], xyb2, sigma=SIGMA
+            )
+        )  # (N, 3, 2, 3)
+    feats = jnp.stack(per_scale, axis=2)  # (N, 3, 6, 2, 3)
+    scores = jax.vmap(lambda f: score_from_features(f.reshape(-1)))(feats)
+    identical = jax.vmap(lambda d: jnp.all(ref_u8 == d))(dist_batch_u8)
+    return jnp.where(identical, jnp.asarray(100.0, scores.dtype), scores)
