@@ -97,15 +97,23 @@ def main() -> None:
     )
     assert np.allclose(ident, 100.0, atol=0.2), ident[:3]
 
+    # Optional jax.profiler capture: CODEC_EVAL_TRACE_DIR=/tmp/trace
+    import os
+
+    trace_dir = os.environ.get("CODEC_EVAL_TRACE_DIR")
+
     # Per-repetition timing, best-of: the remote-tunnel runtime has
     # occasional multi-hundred-ms stalls that would otherwise dominate a
     # mean over few repetitions.
+    from codec_eval_tpu.utils.profiling import device_trace
+
     times = []
-    for i in range(reps):
-        t0 = time.perf_counter()
-        out = sweep(*inputs[1 + i])
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
+    with device_trace(trace_dir):
+        for i in range(reps):
+            t0 = time.perf_counter()
+            out = sweep(*inputs[1 + i])
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
 
     images_per_sec = SWEEP / min(times)
     print(
