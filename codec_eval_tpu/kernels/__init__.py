@@ -8,6 +8,12 @@ from .color import (
     xyb_roundtrip,
     xyb_to_linear_rgb,
 )
+from .masked import (
+    pad_to_bucket,
+    score_mixed_sizes,
+    ssimulacra2_masked,
+    ssimulacra2_masked_batch,
+)
 from .psnr import psnr
 from .ssimulacra2 import (
     Ssimulacra2Reference,
@@ -23,6 +29,10 @@ __all__ = [
     "srgb_u8_to_linear",
     "xyb_roundtrip",
     "xyb_to_linear_rgb",
+    "pad_to_bucket",
+    "score_mixed_sizes",
+    "ssimulacra2_masked",
+    "ssimulacra2_masked_batch",
     "psnr",
     "Ssimulacra2Reference",
     "precompute_reference",
