@@ -9,8 +9,11 @@ from .color import (
     xyb_to_linear_rgb,
 )
 from .masked import (
+    butteraugli_masked,
+    dssim_masked,
     pad_to_bucket,
     score_mixed_sizes,
+    score_mixed_sizes_all,
     ssimulacra2_masked,
     ssimulacra2_masked_batch,
 )
@@ -29,8 +32,11 @@ __all__ = [
     "srgb_u8_to_linear",
     "xyb_roundtrip",
     "xyb_to_linear_rgb",
+    "butteraugli_masked",
+    "dssim_masked",
     "pad_to_bucket",
     "score_mixed_sizes",
+    "score_mixed_sizes_all",
     "ssimulacra2_masked",
     "ssimulacra2_masked_batch",
     "psnr",

@@ -165,6 +165,127 @@ def ssimulacra2_masked(
     return jnp.where(identical, jnp.asarray(100.0, score.dtype), score)
 
 
+def dssim_masked(
+    ref_pad_u8: jnp.ndarray,
+    dist_pad_u8: jnp.ndarray,
+    valid_h: jnp.ndarray,
+    valid_w: jnp.ndarray,
+) -> jnp.ndarray:
+    """DSSIM of a zero-padded sRGB u8 pair; jittable, valid dims dynamic.
+
+    Same exactness argument as ``ssimulacra2_masked``: DSSIM's pipeline uses
+    the same zero-boundary blur and edge-clamped downscale.  Lab of black is
+    exactly (0, 0, 0), but the planes are re-masked anyway to kill float
+    round-off in the padding.
+    """
+    from .dssim import (
+        C1 as D_C1,
+        C2 as D_C2,
+        CHANNEL_WEIGHTS,
+        SCALE_WEIGHTS,
+        SIGMA as D_SIGMA,
+        _calibrate_scale,
+        _linear_rgb_to_lab_planes,
+    )
+
+    vh = jnp.minimum(jnp.asarray(valid_h, jnp.int32), ref_pad_u8.shape[0])
+    vw = jnp.minimum(jnp.asarray(valid_w, jnp.int32), ref_pad_u8.shape[1])
+    lab1 = _linear_rgb_to_lab_planes(
+        jnp.moveaxis(srgb_u8_to_linear(ref_pad_u8), -1, 0)
+    )
+    lab2 = _linear_rgb_to_lab_planes(
+        jnp.moveaxis(srgb_u8_to_linear(dist_pad_u8), -1, 0)
+    )
+    cweights = jnp.asarray(CHANNEL_WEIGHTS)
+    total = jnp.asarray(0.0, dtype=lab1.dtype)
+    weight_sum = 0.0
+    for scale, sweight in enumerate(SCALE_WEIGHTS):
+        if scale:
+            lab1, _, _ = _downscale_masked(lab1, vh, vw)
+            lab2, vh, vw = _downscale_masked(lab2, vh, vw)
+        mask = _valid_mask(lab1.shape[1], lab1.shape[2], vh, vw)
+        count = (vh * vw).astype(jnp.float32)
+        l1 = lab1 * mask[None]
+        l2 = lab2 * mask[None]
+        stacked = jnp.concatenate([l1, l2, l1 * l1, l2 * l2, l1 * l2], axis=0)
+        blurred = blur_separable(stacked, D_SIGMA)
+        mu1, mu2 = blurred[0:3], blurred[3:6]
+        s11, s22, s12 = blurred[6:9], blurred[9:12], blurred[12:15]
+        mu11, mu22, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        ssim_map = ((2.0 * mu12 + D_C1) * (2.0 * (s12 - mu12) + D_C2)) / (
+            (mu11 + mu22 + D_C1) * ((s11 - mu11) + (s22 - mu22) + D_C2)
+        )
+        per_channel = jnp.sum(ssim_map * mask[None], axis=(1, 2)) / count
+        total = total + sweight * jnp.sum(per_channel * cweights) / jnp.sum(cweights)
+        weight_sum += sweight
+    ssim = jnp.clip(total / weight_sum, 1e-6, 1.0)
+    val = _calibrate_scale(1.0 / ssim - 1.0)
+    identical = jnp.all(ref_pad_u8 == dist_pad_u8)
+    return jnp.where(identical, jnp.asarray(0.0, val.dtype), val)
+
+
+def butteraugli_masked(
+    ref_pad_u8: jnp.ndarray,
+    dist_pad_u8: jnp.ndarray,
+    valid_h: jnp.ndarray,
+    valid_w: jnp.ndarray,
+    intensity_target: float = 80.0,
+    hf_asymmetry: float = 0.8,
+) -> jnp.ndarray:
+    """Butteraugli (max-norm) of a zero-padded pair; jittable, dims dynamic.
+
+    Butteraugli has no pyramid, so the exactness argument is just the blur
+    half of the recipe: every blur input (opsin mix, band residuals, HF
+    activity) is re-zeroed beyond the valid region inside the mask-aware
+    band pipeline, making valid pixels bit-equal to the exact-shape kernel;
+    the final max-norm is taken over valid pixels only.
+    """
+    from .butteraugli import (
+        ButteraugliParams,
+        _calibrated,
+        _hf_activity,
+        _malta_diff,
+        _mask_from_activity,
+        _opsin_dynamics,
+        _separate_frequencies,
+    )
+
+    params = _calibrated() or ButteraugliParams.default()
+    h, w = ref_pad_u8.shape[0], ref_pad_u8.shape[1]
+    vh = jnp.minimum(jnp.asarray(valid_h, jnp.int32), h)
+    vw = jnp.minimum(jnp.asarray(valid_w, jnp.int32), w)
+    mask = _valid_mask(h, w, vh, vw)[None]
+
+    lin1 = jnp.moveaxis(srgb_u8_to_linear(ref_pad_u8), -1, 0) * intensity_target
+    lin2 = jnp.moveaxis(srgb_u8_to_linear(dist_pad_u8), -1, 0) * intensity_target
+    b1 = _separate_frequencies(_opsin_dynamics(lin1, params, mask), mask)
+    b2 = _separate_frequencies(_opsin_dynamics(lin2, params, mask), mask)
+
+    asym = 2.0 / jnp.maximum(hf_asymmetry, 1e-3)
+
+    def band_diff(band1, band2, weights, asymmetric):
+        d = band2 - band1
+        if asymmetric:
+            added = jnp.abs(band2) - jnp.abs(band1)
+            sq = d * d * jnp.where(added > 0, asym, 1.0)
+        else:
+            sq = d * d
+        return jnp.tensordot(weights, sq, axes=1)
+
+    acc = band_diff(b1.uhf, b2.uhf, params.w_uhf, True)
+    acc = acc + band_diff(b1.hf, b2.hf, params.w_hf, True)
+    acc = acc + band_diff(b1.mf, b2.mf, params.w_mf, False)
+    acc = acc + band_diff(b1.lf, b2.lf, params.w_lf, False)
+    hf_diff = ((b2.hf + b2.uhf) - (b1.hf + b1.uhf)) * mask
+    acc = acc + jnp.tensordot(params.w_malta, _malta_diff(hf_diff), axes=1)
+    activity = 0.5 * (_hf_activity(b1, mask) + _hf_activity(b2, mask))
+    vmask = _mask_from_activity(activity, params)
+    dmap = jnp.sqrt(jnp.maximum(acc, 0.0) * vmask + 1e-12) * params.out_scale
+    score = jnp.max(dmap * mask[0])
+    identical = jnp.all(ref_pad_u8 == dist_pad_u8)
+    return jnp.where(identical, jnp.asarray(0.0, score.dtype), score)
+
+
 def psnr_masked(
     ref_pad_u8: jnp.ndarray,
     dist_pad_u8: jnp.ndarray,
@@ -253,11 +374,70 @@ def score_mixed_sizes(
     return out
 
 
+def _fused_masked_all(refs_pad, dists_pad, valid_hw):
+    """All four masked metrics for a batch of padded pairs, one XLA program."""
+
+    def one(r, d, hw):
+        return {
+            "ssimulacra2": ssimulacra2_masked(r, d, hw[0], hw[1]),
+            "dssim": dssim_masked(r, d, hw[0], hw[1]),
+            "butteraugli": butteraugli_masked(r, d, hw[0], hw[1]),
+            "psnr": psnr_masked(r, d, hw[0], hw[1]),
+        }
+
+    return jax.vmap(one)(refs_pad, dists_pad, valid_hw)
+
+
+def score_mixed_sizes_all(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    granularity: int = 128,
+    batch: int = 8,
+) -> dict:
+    """All four metrics for mixed-size uint8 pairs with bucketed masked
+    scoring: one fused compiled program per padded shape bucket.  Returns
+    ``{metric: np.ndarray}`` in input order."""
+    keys = ("ssimulacra2", "dssim", "butteraugli", "psnr")
+    if not pairs:
+        return {k: np.zeros((0,), np.float32) for k in keys}
+    assignments = bucket_shapes([p[0].shape[:2] for p in pairs], granularity)
+    fn = jax.jit(_fused_masked_all)
+    out = {k: np.zeros(len(pairs), np.float32) for k in keys}
+    groups: dict = {}
+    for i, shape in enumerate(assignments):
+        groups.setdefault(shape, []).append(i)
+    for (hp, wp), idxs in groups.items():
+        for start in range(0, len(idxs), batch):
+            chunk = idxs[start : start + batch]
+            n = len(chunk)
+            pad_n = batch if n < batch and len(idxs) > batch else n
+            refs = np.stack(
+                [pad_to_bucket(pairs[i][0], hp, wp) for i in chunk]
+                + [pad_to_bucket(pairs[chunk[-1]][0], hp, wp)] * (pad_n - n)
+            )
+            dists = np.stack(
+                [pad_to_bucket(pairs[i][1], hp, wp) for i in chunk]
+                + [pad_to_bucket(pairs[chunk[-1]][1], hp, wp)] * (pad_n - n)
+            )
+            hw = np.array(
+                [pairs[i][0].shape[:2] for i in chunk]
+                + [pairs[chunk[-1]][0].shape[:2]] * (pad_n - n),
+                np.int32,
+            )
+            scores = {k: np.asarray(v) for k, v in fn(refs, dists, hw).items()}
+            for j, i in enumerate(chunk):
+                for k in keys:
+                    out[k][i] = scores[k][j]
+    return out
+
+
 __all__ = [
     "pad_to_bucket",
     "ssimulacra2_masked",
     "ssimulacra2_masked_batch",
+    "dssim_masked",
+    "butteraugli_masked",
     "psnr_masked",
     "bucket_shapes",
     "score_mixed_sizes",
+    "score_mixed_sizes_all",
 ]

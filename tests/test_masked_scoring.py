@@ -15,11 +15,15 @@ import jax.numpy as jnp
 
 from codec_eval_tpu.kernels.masked import (
     bucket_shapes,
+    butteraugli_masked,
+    dssim_masked,
     pad_to_bucket,
     psnr_masked,
     score_mixed_sizes,
     ssimulacra2_masked,
 )
+from codec_eval_tpu.kernels.butteraugli import butteraugli
+from codec_eval_tpu.kernels.dssim import dssim_u8
 from codec_eval_tpu.kernels.psnr import psnr
 from codec_eval_tpu.kernels.ssimulacra2 import ssimulacra2
 
@@ -89,6 +93,40 @@ def test_identical_padded_pair_scores_100():
     assert float(ssimulacra2_masked(p, p, 90, 90)) == 100.0
 
 
+def test_dssim_masked_matches_exact():
+    ref, dist = _pair(130, 190, seed=21)
+    exact = float(jax.jit(dssim_u8)(jnp.asarray(ref), jnp.asarray(dist)))
+    masked = float(
+        jax.jit(dssim_masked)(
+            jnp.asarray(pad_to_bucket(ref, 256, 256)),
+            jnp.asarray(pad_to_bucket(dist, 256, 256)),
+            130,
+            190,
+        )
+    )
+    assert masked == pytest.approx(exact, rel=1e-3), (exact, masked)
+    p = jnp.asarray(pad_to_bucket(ref, 256, 256))
+    assert float(dssim_masked(p, p, 130, 190)) == 0.0
+
+
+def test_butteraugli_masked_matches_exact():
+    ref, dist = _pair(97, 131, seed=22)
+    exact = float(jax.jit(butteraugli)(jnp.asarray(ref), jnp.asarray(dist)))
+    masked = float(
+        jax.jit(butteraugli_masked)(
+            jnp.asarray(pad_to_bucket(ref, 128, 160)),
+            jnp.asarray(pad_to_bucket(dist, 128, 160)),
+            97,
+            131,
+        )
+    )
+    # Max-norm: the maximizing valid pixel is identical, so this is typically
+    # bit-equal; allow float round-off.
+    assert masked == pytest.approx(exact, rel=1e-4), (exact, masked)
+    p = jnp.asarray(pad_to_bucket(ref, 128, 160))
+    assert float(butteraugli_masked(p, p, 97, 131)) == 0.0
+
+
 def test_psnr_masked_matches_exact():
     ref, dist = _pair(97, 130, seed=9)
     exact = float(psnr(jnp.asarray(ref), jnp.asarray(dist)))
@@ -111,6 +149,28 @@ def test_score_mixed_sizes_end_to_end():
         [float(ssimulacra2(jnp.asarray(r), jnp.asarray(d))) for r, d in pairs]
     )
     np.testing.assert_allclose(got, want, atol=5e-3)
+
+
+def test_score_mixed_sizes_all_four_metrics():
+    from codec_eval_tpu.kernels.masked import score_mixed_sizes_all
+
+    pairs = [_pair(h, w, seed=40 + i) for i, (h, w) in
+             enumerate([(97, 111), (128, 128)])]
+    got = score_mixed_sizes_all(pairs, granularity=128, batch=2)
+    assert set(got) == {"ssimulacra2", "dssim", "butteraugli", "psnr"}
+    for i, (r, d) in enumerate(pairs):
+        assert got["ssimulacra2"][i] == pytest.approx(
+            float(ssimulacra2(jnp.asarray(r), jnp.asarray(d))), abs=5e-3
+        )
+        assert got["dssim"][i] == pytest.approx(
+            float(dssim_u8(jnp.asarray(r), jnp.asarray(d))), rel=1e-3
+        )
+        assert got["butteraugli"][i] == pytest.approx(
+            float(butteraugli(jnp.asarray(r), jnp.asarray(d))), rel=1e-3
+        )
+        assert got["psnr"][i] == pytest.approx(
+            float(psnr(jnp.asarray(r), jnp.asarray(d))), abs=1e-3
+        )
 
 
 def test_bucket_shapes_rounding():
