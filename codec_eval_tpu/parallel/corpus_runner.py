@@ -16,7 +16,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .mesh import make_mesh, shard_batch, sharded_score_fn
+from .mesh import make_mesh, shard_batch, sharded_masked_score_fn, sharded_score_fn
 
 
 @dataclass
@@ -34,38 +34,84 @@ def score_pairs_sharded(
     ssimulacra2: bool = True,
     butteraugli: bool = True,
     psnr: bool = True,
+    masked: bool = False,
+    granularity: int = 128,
 ) -> CorpusScores:
     """Score (ref, dist) u8 pairs across the mesh, bucketed by shape.
 
     Pads each bucket's batch by repeating its last pair up to a multiple of
     the mesh batch axis; padded entries are dropped from results and means.
+
+    With ``masked=True``, pairs are bucketed by PADDED shape (multiples of
+    ``granularity``) instead of exact shape and scored through the masked
+    kernels (kernels/masked.py) — one compiled program per bucket covers
+    every image size inside it, the right trade for corpora with many
+    distinct sizes.  The masked path always computes all four metrics;
+    the metric flags filter the returned dict.
     """
     if mesh is None:
         mesh = make_mesh(n_space=1)
     n_batch = mesh.devices.shape[0]
 
-    step = sharded_score_fn(
-        mesh, dssim=dssim, ssimulacra2=ssimulacra2,
-        butteraugli=butteraugli, psnr=psnr,
-    )
+    wanted = {
+        k
+        for k, on in [
+            ("dssim", dssim),
+            ("ssimulacra2", ssimulacra2),
+            ("butteraugli", butteraugli),
+            ("psnr", psnr),
+        ]
+        if on
+    }
+    if masked:
+        from ..kernels.masked import bucket_shapes, pad_to_bucket
 
-    # Bucket indices by shape.
+        step = sharded_masked_score_fn(mesh)
+        assignments = bucket_shapes([p[0].shape[:2] for p in pairs], granularity)
+    else:
+        step = sharded_score_fn(
+            mesh, dssim=dssim, ssimulacra2=ssimulacra2,
+            butteraugli=butteraugli, psnr=psnr,
+        )
+        assignments = [p[0].shape[:2] for p in pairs]
+
+    # Bucket indices by (padded) shape.
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for i, (ref, dist) in enumerate(pairs):
         assert ref.shape == dist.shape, f"pair {i} shape mismatch"
-        buckets.setdefault(ref.shape[:2], []).append(i)
+        buckets.setdefault(assignments[i], []).append(i)
 
     per_pair: List[Optional[Dict[str, float]]] = [None] * len(pairs)
     for shape, indices in buckets.items():
-        refs = np.stack([pairs[i][0] for i in indices])
-        dists = np.stack([pairs[i][1] for i in indices])
+        if masked:
+            refs = np.stack(
+                [pad_to_bucket(pairs[i][0], *shape) for i in indices]
+            )
+            dists = np.stack(
+                [pad_to_bucket(pairs[i][1], *shape) for i in indices]
+            )
+            hw = np.array([pairs[i][0].shape[:2] for i in indices], np.int32)
+        else:
+            refs = np.stack([pairs[i][0] for i in indices])
+            dists = np.stack([pairs[i][1] for i in indices])
         n = len(indices)
         padded = ((n + n_batch - 1) // n_batch) * n_batch
         if padded != n:
             refs = np.concatenate([refs, np.repeat(refs[-1:], padded - n, 0)])
             dists = np.concatenate([dists, np.repeat(dists[-1:], padded - n, 0)])
-        scores, _ = step(shard_batch(mesh, refs), shard_batch(mesh, dists))
-        scores = {k: np.asarray(v, dtype=np.float64) for k, v in scores.items()}
+        if masked:
+            if padded != n:
+                hw = np.concatenate([hw, np.repeat(hw[-1:], padded - n, 0)])
+            scores, _ = step(
+                shard_batch(mesh, refs), shard_batch(mesh, dists), hw
+            )
+        else:
+            scores, _ = step(shard_batch(mesh, refs), shard_batch(mesh, dists))
+        scores = {
+            k: np.asarray(v, dtype=np.float64)
+            for k, v in scores.items()
+            if k in wanted
+        }
         for j, i in enumerate(indices):
             per_pair[i] = {k: float(scores[k][j]) for k in scores}
 

@@ -114,6 +114,34 @@ def sharded_score_fn(
     )
 
 
+def sharded_masked_score_fn(mesh: Mesh):
+    """Build a jitted SPMD scorer for MIXED-SIZE pairs padded to one bucket.
+
+    Returns ``step(refs, dists, valid_hw) -> (per_pair, aggregates)`` where
+    refs/dists are (N, H_pad, W_pad, 3) u8 batches (zero-padded via
+    ``kernels.masked.pad_to_bucket``) and valid_hw is (N, 2) int32 true dims.
+    One compiled program serves every image size in the bucket, sharded over
+    the mesh batch axis (kernels/masked.py exactness recipe).
+    """
+    from ..kernels.masked import _fused_masked_all
+
+    in_sharding = pair_sharding(mesh)
+    hw_sharding = NamedSharding(mesh, P("batch", None))
+    out_sharding = scalar_sharding(mesh)
+
+    def step(refs, dists, valid_hw):
+        per_pair = _fused_masked_all(refs, dists, valid_hw)
+        aggregates = {f"mean_{k}": jnp.mean(v) for k, v in per_pair.items()}
+        return per_pair, aggregates
+
+    keys = ("ssimulacra2", "dssim", "butteraugli", "psnr")
+    return jax.jit(
+        step,
+        in_shardings=(in_sharding, in_sharding, hw_sharding),
+        out_shardings=({k: out_sharding for k in keys}, None),
+    )
+
+
 def shard_batch(mesh: Mesh, batch: np.ndarray, spatial: bool = False) -> jax.Array:
     """Place a host (N, H, W, 3) batch onto the mesh with pair sharding."""
     return jax.device_put(batch, pair_sharding(mesh, spatial=spatial))
@@ -124,5 +152,6 @@ __all__ = [
     "pair_sharding",
     "scalar_sharding",
     "sharded_score_fn",
+    "sharded_masked_score_fn",
     "shard_batch",
 ]

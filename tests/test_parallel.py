@@ -77,3 +77,42 @@ def test_score_pairs_sharded_buckets_and_padding():
     assert out.means["psnr"] == pytest.approx(
         np.mean([p["psnr"] for p in out.per_pair])
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_score_pairs_sharded_masked_mixed_sizes():
+    """masked=True scores heterogeneous sizes in one padded-bucket program
+    and matches the exact per-shape path."""
+    from codec_eval_tpu.parallel import score_pairs_sharded, make_mesh
+
+    mesh = make_mesh(n_batch=4, n_space=1)
+    rng = np.random.default_rng(2)
+    pairs = []
+    for shape in [(32, 32), (24, 40), (17, 29)]:
+        ref = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        dist = np.clip(
+            ref.astype(np.int16) + rng.integers(-6, 7, ref.shape), 0, 255
+        ).astype(np.uint8)
+        pairs.append((ref, dist))
+    got = score_pairs_sharded(pairs, mesh=mesh, masked=True, granularity=32)
+    exact = score_pairs_sharded(pairs, mesh=mesh)
+    assert len(got.per_pair) == 3
+    for g, e in zip(got.per_pair, exact.per_pair):
+        assert set(g) == {"psnr", "ssimulacra2", "dssim", "butteraugli"}
+        for k in g:
+            assert g[k] == pytest.approx(e[k], rel=2e-3, abs=1e-4), (k, g, e)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_score_pairs_sharded_masked_metric_filter():
+    from codec_eval_tpu.parallel import score_pairs_sharded, make_mesh
+
+    mesh = make_mesh(n_batch=4, n_space=1)
+    rng = np.random.default_rng(3)
+    ref = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    out = score_pairs_sharded(
+        [(ref, ref)], mesh=mesh, masked=True, granularity=32,
+        dssim=False, butteraugli=False,
+    )
+    assert set(out.per_pair[0]) == {"psnr", "ssimulacra2"}
+    assert out.per_pair[0]["ssimulacra2"] == 100.0
