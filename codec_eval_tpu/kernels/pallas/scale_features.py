@@ -16,27 +16,44 @@ Geometry contract (caller-side): planes are padded to lane-aligned width
 with zeros, which matches the metric's zero boundary semantics; reductions
 are masked to the valid width in-kernel.
 
-Status: bit-exact vs the XLA path; wall-clock parity within run noise (the
-slab DMA is double-buffered across grid steps, but the in-kernel blurs are
-still lane-shift FIRs).  Single-pair only — the ANY-space inputs cannot
-carry a vmap batch dimension yet, so batched sweeps keep the XLA path; the
-next step is folding the candidate batch into the grid and moving the blurs
-onto the MXU within the VMEM budget (see ROADMAP.md).
+Status: the batched kernel (grid (C, nt, N), reference slab resident across
+the candidate batch, slab DMA double-buffered) with block-tridiagonal MXU
+matmul horizontal blurs (`_hblur_mm`) beats the XLA batch formulation by
+~1.1-1.35x interleaved on a v5e chip and matches it to ~5e-4; it is the
+default for ``ssimulacra2_batch`` on TPU (CODEC_EVAL_SSIM2_IMPL=auto).
+The earlier full-(W, W)-operator attempt blew the ~16MB scoped-VMEM budget
+(Mosaic double-buffers input blocks and splits HIGHEST-precision matmul
+operands into bf16 copies: 18.5-19.5MB); factoring the banded Toeplitz
+operator into three (128, 128) blocks applied to the previous/current/next
+128-lane input block keeps every slice lane-aligned, skips the zero band
+blocks, and needs only ~0.2MB of operator VMEM.  The single-pair kernel's
+ANY-space inputs still cannot carry a vmap batch dimension, so vmapped
+per-candidate callers (iter/eval.py) keep the XLA path under "auto".
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..blur import gaussian_taps
+from ..blur import _banded_matrix, gaussian_taps
 
 TILE_H = 96
+#: Tile for the matmul in-kernel blur (block-tridiagonal operators are tiny,
+#: so the same tile as the FIR path fits the ~16MB scoped-VMEM budget).
+TILE_H_MM = 96
 C2 = 0.0009
+
+#: In-kernel horizontal-blur implementation: "matmul" (default —
+#: block-tridiagonal (128, 128) operators on the MXU; lane shifts lower to
+#: expensive shuffles) or "fir" (lane-shift accumulation, bit-exact vs the
+#: XLA shifted path, ~1.1-1.35x slower end-to-end).
+PALLAS_HBLUR = os.environ.get("CODEC_EVAL_PALLAS_HBLUR", "matmul")
 
 
 def _hblur(x, taps, r):
@@ -48,6 +65,30 @@ def _hblur(x, taps, r):
     return out
 
 
+def _hblur_mm(x, t_top, t_mid, t_bot):
+    """Horizontal blur as block-tridiagonal 128-wide matmuls on the MXU.
+
+    The banded (W, W) Toeplitz operator only couples adjacent 128-lane
+    blocks (radius 7 < 128), so the blur factors into three tiny (128, 128)
+    operators applied to the previous / current / next input block — all
+    slices 128-aligned (no lane shuffles), zero band-blocks skipped, and no
+    (W, W) operator eating scoped VMEM."""
+    nblk = x.shape[-1] // 128
+    dot = lambda a, b: jax.lax.dot(
+        a, b, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    outs = []
+    for j in range(nblk):
+        acc = dot(x[:, j * 128 : (j + 1) * 128], t_mid)
+        if j > 0:
+            acc = acc + dot(x[:, (j - 1) * 128 : j * 128], t_top)
+        if j < nblk - 1:
+            acc = acc + dot(x[:, (j + 1) * 128 : (j + 2) * 128], t_bot)
+        outs.append(acc)
+    return jnp.concatenate(outs, axis=1)
+
+
 def _vblur(slab, taps, tile):
     out = taps[0] * slab[0:tile, :]
     for i in range(1, len(taps)):
@@ -56,10 +97,10 @@ def _vblur(slab, taps, tile):
 
 
 def _features_kernel(
-    x1_hbm, x2_hbm, mu1_ref, s11_ref,
+    x1_hbm, x2_hbm, mu1_ref, s11_ref, t_top_ref, t_mid_ref, t_bot_ref,
     d1_ref, d4_ref, a1_ref, a4_ref, l1_ref, l4_ref,
     slab1, slab2, sems,
-    *, taps, r, tile, slab_rows, valid_w, valid_h,
+    *, taps, r, tile, slab_rows, valid_w, valid_h, use_mm,
 ):
     # Double-buffered slab pipeline across grid steps: each step starts the
     # NEXT step's DMA into the other slot before waiting on its own (which
@@ -113,9 +154,15 @@ def _features_kernel(
     mu1 = mu1_ref[0]
     s11 = s11_ref[0]
 
-    mu2 = _hblur(_vblur(x2s, taps, tile), taps, r)
-    s22 = _hblur(_vblur(x2s * x2s, taps, tile), taps, r)
-    s12 = _hblur(_vblur(x1s * x2s, taps, tile), taps, r)
+    if use_mm:
+        hblur = lambda v: _hblur_mm(
+            v, t_top_ref[...], t_mid_ref[...], t_bot_ref[...]
+        )
+    else:
+        hblur = lambda v: _hblur(v, taps, r)
+    mu2 = hblur(_vblur(x2s, taps, tile))
+    s22 = hblur(_vblur(x2s * x2s, taps, tile))
+    s12 = hblur(_vblur(x1s * x2s, taps, tile))
 
     mu11 = mu1 * mu1
     mu22 = mu2 * mu2
@@ -150,6 +197,14 @@ def _features_kernel(
     l4_ref[c, t] = jnp.sum(detail_lost**4)
 
 
+def _block_tridiag_ops(sigma: float):
+    """(t_top, t_mid, t_bot): the three (128, 128) blocks of the banded
+    Toeplitz blur operator that couple a 128-lane output block to the
+    previous / same / next input block (band radius << 128)."""
+    full = _banded_matrix(3 * 128, sigma)
+    return full[0:128, 128:256], full[128:256, 128:256], full[256:384, 128:256]
+
+
 @functools.partial(jax.jit, static_argnames=("sigma",))
 def scale_features_pallas(
     xyb1: jnp.ndarray,
@@ -164,7 +219,8 @@ def scale_features_pallas(
     r = len(taps) // 2
     c, h, w = xyb1.shape
 
-    tile = min(TILE_H, ((h + 7) // 8) * 8)
+    use_mm = PALLAS_HBLUR == "matmul"
+    tile = min(TILE_H_MM if use_mm else TILE_H, ((h + 7) // 8) * 8)
     hp = ((h + tile - 1) // tile) * tile
     slab_rows = ((tile + 2 * r + 7) // 8) * 8
     bottom = (slab_rows - tile - r) + (hp - h)
@@ -181,12 +237,16 @@ def scale_features_pallas(
     kernel = functools.partial(
         _features_kernel,
         taps=taps, r=r, tile=tile, slab_rows=slab_rows, valid_w=w, valid_h=h,
+        use_mm=use_mm,
     )
+    t_top, t_mid, t_bot = (jnp.asarray(m) for m in _block_tridiag_ops(sigma))
     sum_shape = jax.ShapeDtypeStruct((c, nt), jnp.float32)
     sum_spec = pl.BlockSpec((c, nt), lambda ci, ti: (0, 0),
                             memory_space=pltpu.SMEM)
     tile_spec = pl.BlockSpec((1, tile, wp), lambda ci, ti: (ci, ti, 0),
                              memory_space=pltpu.VMEM)
+    op_spec = pl.BlockSpec((128, 128), lambda ci, ti: (0, 0),
+                           memory_space=pltpu.VMEM)
 
     sums = pl.pallas_call(
         kernel,
@@ -196,6 +256,9 @@ def scale_features_pallas(
             pl.BlockSpec(memory_space=pltpu.ANY),
             tile_spec,
             tile_spec,
+            op_spec,
+            op_spec,
+            op_spec,
         ],
         out_specs=tuple(sum_spec for _ in range(6)),
         out_shape=tuple(sum_shape for _ in range(6)),
@@ -204,7 +267,7 @@ def scale_features_pallas(
             pltpu.VMEM((2, slab_rows, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
-    )(x1p, x2p, mu1p, s11p)
+    )(x1p, x2p, mu1p, s11p, t_top, t_mid, t_bot)
 
     n = jnp.float32(h * w)
     d1, d4, a1, a4, l1, l4 = (s.sum(axis=1) for s in sums)
@@ -229,10 +292,10 @@ def scale_features_pallas(
 
 
 def _features_kernel_batch(
-    x1_hbm, x2_hbm, mu1_ref, s11_ref,
+    x1_hbm, x2_hbm, mu1_ref, s11_ref, t_top_ref, t_mid_ref, t_bot_ref,
     d1_ref, d4_ref, a1_ref, a4_ref, l1_ref, l4_ref,
     ref_slab, slab2, sems,
-    *, taps, r, tile, slab_rows, valid_w, valid_h, n_cand,
+    *, taps, r, tile, slab_rows, valid_w, valid_h, n_cand, use_mm,
 ):
     """Grid (C, nt, N): the innermost axis sweeps candidates, so the
     reference slab (and the mu1/s11 VMEM blocks, whose index map ignores n)
@@ -290,9 +353,15 @@ def _features_kernel_batch(
     mu1 = mu1_ref[0]
     s11 = s11_ref[0]
 
-    mu2 = _hblur(_vblur(x2s, taps, tile), taps, r)
-    s22 = _hblur(_vblur(x2s * x2s, taps, tile), taps, r)
-    s12 = _hblur(_vblur(x1s * x2s, taps, tile), taps, r)
+    if use_mm:
+        hblur = lambda v: _hblur_mm(
+            v, t_top_ref[...], t_mid_ref[...], t_bot_ref[...]
+        )
+    else:
+        hblur = lambda v: _hblur(v, taps, r)
+    mu2 = hblur(_vblur(x2s, taps, tile))
+    s22 = hblur(_vblur(x2s * x2s, taps, tile))
+    s12 = hblur(_vblur(x1s * x2s, taps, tile))
 
     mu11 = mu1 * mu1
     mu22 = mu2 * mu2
@@ -339,7 +408,8 @@ def scale_features_pallas_batch(
     c, h, w = xyb1.shape
     n_cand = xyb2_batch.shape[0]
 
-    tile = min(TILE_H, ((h + 7) // 8) * 8)
+    use_mm = PALLAS_HBLUR == "matmul"
+    tile = min(TILE_H_MM if use_mm else TILE_H, ((h + 7) // 8) * 8)
     hp = ((h + tile - 1) // tile) * tile
     slab_rows = ((tile + 2 * r + 7) // 8) * 8
     bottom = (slab_rows - tile - r) + (hp - h)
@@ -356,14 +426,18 @@ def scale_features_pallas_batch(
     kernel = functools.partial(
         _features_kernel_batch,
         taps=taps, r=r, tile=tile, slab_rows=slab_rows,
-        valid_w=w, valid_h=h, n_cand=n_cand,
+        valid_w=w, valid_h=h, n_cand=n_cand, use_mm=use_mm,
     )
+    t_top, t_mid, t_bot = (jnp.asarray(m) for m in _block_tridiag_ops(sigma))
     sum_shape = jax.ShapeDtypeStruct((n_cand, c, nt), jnp.float32)
     sum_spec = pl.BlockSpec(
         (n_cand, c, nt), lambda ci, ti, ni: (0, 0, 0), memory_space=pltpu.SMEM
     )
     tile_spec = pl.BlockSpec(
         (1, tile, wp), lambda ci, ti, ni: (ci, ti, 0), memory_space=pltpu.VMEM
+    )
+    op_spec = pl.BlockSpec(
+        (128, 128), lambda ci, ti, ni: (0, 0), memory_space=pltpu.VMEM
     )
 
     sums = pl.pallas_call(
@@ -374,6 +448,9 @@ def scale_features_pallas_batch(
             pl.BlockSpec(memory_space=pltpu.ANY),
             tile_spec,
             tile_spec,
+            op_spec,
+            op_spec,
+            op_spec,
         ],
         out_specs=tuple(sum_spec for _ in range(6)),
         out_shape=tuple(sum_shape for _ in range(6)),
@@ -382,7 +459,7 @@ def scale_features_pallas_batch(
             pltpu.VMEM((2, slab_rows, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
-    )(x1p, x2p, mu1p, s11p)
+    )(x1p, x2p, mu1p, s11p, t_top, t_mid, t_bot)
 
     nn = jnp.float32(h * w)
     d1, d4, a1, a4, l1, l4 = (s.sum(axis=2) for s in sums)  # (N, C)

@@ -128,17 +128,20 @@ def _scale_features(
 
 import os
 
-#: Per-scale feature implementation: "xla" (default) or "pallas" (TPU only).
+#: Per-scale feature implementation: "auto" (default), "xla", or "pallas".
 #: The fused batched Pallas kernel keeps the reference slab VMEM-resident
-#: across the whole candidate batch and reduces in-kernel; it matches the
-#: XLA path to ~5e-4 (reduction-order differences) and ties it on wall
-#: clock within the chip's run-to-run variance, so the more battle-tested
-#: XLA formulation stays default.
-SCALE_IMPL = os.environ.get("CODEC_EVAL_SSIM2_IMPL", "xla")
+#: across the whole candidate batch, reduces in-kernel, and runs its
+#: horizontal blurs as block-tridiagonal matmuls on the MXU — ~1.35x the
+#: XLA batch path on a v5e chip (measured interleaved; matches to ~5e-4,
+#: reduction-order differences).  "auto" uses it for ``ssimulacra2_batch``
+#: on TPU; the per-candidate path stays XLA because the single-pair kernel's
+#: ANY-space inputs cannot carry a vmap batch dimension ("pallas" forces it
+#: for non-vmapped single-pair calls too).
+SCALE_IMPL = os.environ.get("CODEC_EVAL_SSIM2_IMPL", "auto")
 
 
 def _use_pallas_batch() -> bool:
-    if SCALE_IMPL != "pallas":
+    if SCALE_IMPL not in ("auto", "pallas"):
         return False
     return jax.default_backend() in ("tpu", "axon")
 
