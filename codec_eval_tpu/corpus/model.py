@@ -34,7 +34,12 @@ class CorpusImage:
     format: str = ""
 
     def name(self) -> str:
-        return Path(self.relative_path).stem
+        """Unique report name: the extension-stripped relative path with
+        separators sanitized, so same-named files in different category
+        subdirectories don't overwrite each other's reports."""
+        p = Path(self.relative_path)
+        parts = [*p.parts[:-1], p.stem]
+        return "__".join(parts)
 
     def full_path(self, root: Path) -> Path:
         return Path(root) / self.relative_path

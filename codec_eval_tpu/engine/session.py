@@ -151,51 +151,85 @@ class EvalSession:
     def codec_count(self) -> int:
         return len(self._codecs)
 
-    def _stage_image(self, name: str, image: ImageData) -> List[dict]:
-        """Host phase: run every (codec, quality) encode/decode, timed.
+    def _stage_cell(
+        self, name: str, image: ImageData, codec: _CodecEntry, quality: float
+    ) -> dict:
+        """Host phase for one (codec, quality) cell: encode/decode, timed.
         reference timers: src/eval/session.rs:380-389."""
         width, height = image.width, image.height
+        request = EncodeRequest(quality=quality)
+        t0 = time.perf_counter()
+        encoded = codec.encode(image, request)
+        encode_ms = int((time.perf_counter() - t0) * 1000)
+
+        cached_path = None
+        if self.config.cache_dir is not None:
+            # Encoded-artifact caching (the reference plumbs
+            # cache_dir but never writes it — closed here).
+            self.config.cache_dir.mkdir(parents=True, exist_ok=True)
+            cached = self.config.cache_dir / (
+                f"{name}-{codec.id}-q{quality:g}.bin"
+            )
+            cached.write_bytes(encoded)
+            cached_path = str(cached)
+
+        entry = {
+            "codec": codec,
+            "quality": quality,
+            "params": request.params,
+            "file_size": len(encoded),
+            "encode_ms": encode_ms,
+            "decode_ms": None,
+            "decoded": None,
+            "cached_path": cached_path,
+            "error": None,
+        }
+        if codec.decode is not None:
+            t0 = time.perf_counter()
+            decoded = codec.decode(encoded)
+            entry["decode_ms"] = int((time.perf_counter() - t0) * 1000)
+            decoded_rgb = decoded.to_rgb8_srgb()
+            if decoded_rgb.shape[:2] != (height, width):
+                raise DimensionMismatch(
+                    (width, height),
+                    (decoded_rgb.shape[1], decoded_rgb.shape[0]),
+                )
+            entry["decoded"] = decoded_rgb
+        return entry
+
+    def _stage_image(
+        self, name: str, image: ImageData, on_error: str = "raise"
+    ) -> List[dict]:
+        """Host phase: run every (codec, quality) encode/decode cell.
+
+        With ``on_error="skip"``, a failing cell is recorded with
+        ``error`` set and unscored (None) metrics while the remaining
+        (codec, quality) cells still run — the reference's per-eval
+        continue policy (reference: crates/codec-compare/src/main.rs:374-376
+        keeps iterating; metrics are Option-valued per cell)."""
+        from ..errors import CodecEvalError
+
         staged: List[dict] = []
         for codec in self._codecs:
             for quality in self.config.quality_levels:
-                request = EncodeRequest(quality=quality)
-                t0 = time.perf_counter()
-                encoded = codec.encode(image, request)
-                encode_ms = int((time.perf_counter() - t0) * 1000)
-
-                cached_path = None
-                if self.config.cache_dir is not None:
-                    # Encoded-artifact caching (the reference plumbs
-                    # cache_dir but never writes it — closed here).
-                    self.config.cache_dir.mkdir(parents=True, exist_ok=True)
-                    cached = self.config.cache_dir / (
-                        f"{name}-{codec.id}-q{quality:g}.bin"
+                try:
+                    staged.append(self._stage_cell(name, image, codec, quality))
+                except CodecEvalError as e:
+                    if on_error != "skip":
+                        raise
+                    staged.append(
+                        {
+                            "codec": codec,
+                            "quality": quality,
+                            "params": {},
+                            "file_size": 0,
+                            "encode_ms": 0,
+                            "decode_ms": None,
+                            "decoded": None,
+                            "cached_path": None,
+                            "error": str(e),
+                        }
                     )
-                    cached.write_bytes(encoded)
-                    cached_path = str(cached)
-
-                entry = {
-                    "codec": codec,
-                    "quality": quality,
-                    "params": request.params,
-                    "file_size": len(encoded),
-                    "encode_ms": encode_ms,
-                    "decode_ms": None,
-                    "decoded": None,
-                    "cached_path": cached_path,
-                }
-                if codec.decode is not None:
-                    t0 = time.perf_counter()
-                    decoded = codec.decode(encoded)
-                    entry["decode_ms"] = int((time.perf_counter() - t0) * 1000)
-                    decoded_rgb = decoded.to_rgb8_srgb()
-                    if decoded_rgb.shape[:2] != (height, width):
-                        raise DimensionMismatch(
-                            (width, height),
-                            (decoded_rgb.shape[1], decoded_rgb.shape[0]),
-                        )
-                    entry["decoded"] = decoded_rgb
-                staged.append(entry)
         return staged
 
     def _score_and_report(
@@ -234,13 +268,18 @@ class EvalSession:
             )
         return report
 
-    def evaluate_image(self, name: str, image: ImageData) -> ImageReport:
+    def evaluate_image(
+        self, name: str, image: ImageData, on_error: str = "raise"
+    ) -> ImageReport:
         """Evaluate one image across all codecs x quality levels.
 
         Host codecs run serially (timed individually); all decoded
         candidates are then scored in one batched device dispatch.
+        ``on_error="skip"`` keeps per-cell failures as unscored rows.
         """
-        return self._score_and_report(name, image, self._stage_image(name, image))
+        return self._score_and_report(
+            name, image, self._stage_image(name, image, on_error=on_error)
+        )
 
     def evaluate_corpus(
         self, images, name: str = "corpus", on_error: str = "skip", progress=None
@@ -262,7 +301,10 @@ class EvalSession:
 
         def stage(idx):
             img_name, image = items[idx]
-            return self._stage_image(img_name, image)
+            # Per-cell failures become unscored rows under "skip"; only
+            # image-level failures (unreadable source, every cell failing
+            # to even construct) propagate to the image-skip policy below.
+            return self._stage_image(img_name, image, on_error=on_error)
 
         with ThreadPoolExecutor(max_workers=1) as pool:
             future = pool.submit(stage, 0)

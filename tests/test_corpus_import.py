@@ -283,3 +283,15 @@ def test_sparse_open_not_a_repo(tmp_path):
 
     with pytest.raises(CorpusError, match="Not a git repository"):
         SparseCheckout.open(tmp_path)
+
+
+def test_corpus_image_name_unique_across_subdirs():
+    """Same filename in two category folders must yield distinct report
+    names (per-image JSON reports would silently overwrite otherwise)."""
+    from codec_eval_tpu.corpus import CorpusImage
+
+    a = CorpusImage(relative_path="photo/0001.png")
+    b = CorpusImage(relative_path="illustration/0001.png")
+    assert a.name() != b.name()
+    assert a.name() == "photo__0001"
+    assert CorpusImage(relative_path="0001.png").name() == "0001"

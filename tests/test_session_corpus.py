@@ -40,8 +40,9 @@ def test_evaluate_corpus_pipeline(tmp_path):
 
 
 def test_evaluate_corpus_skip_and_continue(tmp_path):
-    """Failing codec on one image skips it (reference policy,
-    crates/codec-compare/src/main.rs:335-376)."""
+    """Failing cells become unscored rows; the image itself stays in the
+    report (reference policy: crates/codec-compare/src/main.rs:374-376
+    continues per-eval and metrics are Option-valued per cell)."""
     session = _identity_session(tmp_path)
 
     def flaky_encode(img, req):
@@ -51,12 +52,42 @@ def test_evaluate_corpus_skip_and_continue(tmp_path):
 
     session._codecs[0].encode = flaky_encode
     items = [(f"img{i}", ImageData.rgb8(_img(i))) for i in range(4)]
-    expected_ok = sum(1 for _, im in items if im.to_rgb8()[0, 0, 0] % 2 == 0)
+    failing = [im.to_rgb8()[0, 0, 0] % 2 == 1 for _, im in items]
     report = session.evaluate_corpus(items, on_error="skip")
-    assert len(report.images) == expected_ok
+    assert len(report.images) == len(items)
+    for img_report, failed in zip(report.images, failing):
+        assert len(img_report.results) == 1
+        scored = img_report.results[0].metrics.psnr is not None
+        assert scored == (not failed)
 
     with pytest.raises(CodecError):
         session.evaluate_corpus(items, on_error="raise")
+
+
+def test_per_cell_failure_keeps_other_codec(tmp_path):
+    """One codec's decode failure must not discard the other codec's cells
+    for the same image (reference: per-(codec, quality) Option metrics)."""
+    session = _identity_session(tmp_path)
+
+    def broken_decode(data):
+        raise CodecError("broken", "decode exploded")
+
+    session.add_codec_with_decode(
+        "broken", "0.0",
+        lambda img, req: img.to_rgb8().tobytes(),
+        broken_decode,
+    )
+    report = session.evaluate_image(
+        "img0", ImageData.rgb8(_img(0)), on_error="skip"
+    )
+    by_codec = {r.codec_id: r for r in report.results}
+    assert set(by_codec) == {"identity", "broken"}
+    assert by_codec["identity"].metrics.psnr is not None
+    assert by_codec["broken"].metrics.psnr is None
+    assert by_codec["broken"].file_size == 0
+
+    with pytest.raises(CodecError):
+        session.evaluate_image("img0", ImageData.rgb8(_img(0)))
 
 
 def test_cache_dir_writes_artifacts(tmp_path):
