@@ -1,299 +1,654 @@
-"""Butteraugli psychovisual distance as a fused JAX/XLA pipeline.
+"""Butteraugli psychovisual distance — faithful TPU port of the public model.
 
 TPU-native rebuild of the metric the reference wraps from the butteraugli
-crate (reference: src/metrics/butteraugli.rs:45-135).  The public butteraugli
-model (Google/JPEG XL) is reproduced structurally:
+crate (reference: src/metrics/butteraugli.rs:45-135).  Unlike the round-1
+calibrated surrogate, this is a *faithful* implementation of the public
+butteraugli algorithm (the one shipped inside libjxl, which is also the
+in-environment golden oracle `codec_eval_tpu.utils.jxl_golden`).  The exact
+pipeline and every constant were recovered from the system library binary —
+see ``docs/butteraugli_algorithm_notes.md`` for the full recovered spec and
+method (constant-pool extraction + disassembly + numeric probing of
+``MaltaUnit`` via ctypes, verified exact against the oracle).
 
-1. **Opsin dynamics** — linear RGB scaled to the intensity target (nits),
-   LMS-like opsin absorbance, local-adaptation sensitivity from a blurred
-   surround, signed-cbrt response, opponent (X, Y, B) channels.
-2. **Frequency separation** — LF / MF / HF / UHF bands via cascaded Gaussian
-   blurs (sigmas 7.1559, 3.2249, 1.5642 — the public band constants); HF and
-   UHF exist for the opponent X/Y channels only.
-3. **Asymmetric difference** — artifacts that *add* energy (ringing, noise)
-   weigh more than artifacts that *remove* it (blur), controlled by
-   ``hf_asymmetry`` exactly like the reference's knob.
-4. **Masking** — high local activity in either image raises the visibility
-   threshold (psychovisual contrast masking from both psycho images, with a
-   calibratable saturation nonlinearity).
-5. **Combination** — per-band weighted squares sum into a per-pixel distance
-   map; the score is its max-norm (the classic butteraugli distance) with
-   p-norms available.
+Pipeline (two resolutions):
 
-Free constants live in :class:`ButteraugliParams` — a differentiable pytree.
-They are CALIBRATED against the system libjxl butteraugli
-(``codec_eval_tpu.utils.jxl_golden``) by gradient descent; see
-``tools/calibrate_butteraugli.py``.  This gives numerical agreement with the
-canonical implementation without translating its ~2000 lines of C++ scalar
-code, which would map poorly onto TPU anyway.
+1. **Opsin dynamics** — linear RGB scaled to the intensity target, LMS-like
+   absorbance, local-adaptation sensitivity ``Gamma(blurred)/blurred`` with
+   the log2-based Gamma, opponent (X, Y, B) channels.
+2. **Frequency separation** — LF/MF/HF/UHF bands via renormalized truncated
+   Gaussian blurs (sigmas 7.1559334 / 3.2248991 / 1.5641633), with the
+   model's range reshaping (RemoveRange / AmplifyRange / MaximumClamp),
+   red-green suppression by luminance, and XybLowFreqToVals on LF.
+3. **Malta directional line sums** — 16 oriented line kernels per band
+   (full 9-sample variant on UHF, every-other LF variant on HF/MF) with the
+   asymmetric corridor penalty, plus asymmetric/plain L2 band diffs.
+4. **Masking** — psychovisual contrast masking from both images
+   (CombineChannelsForMasking -> DiffPrecompute -> blur -> FuzzyErosion),
+   MaskY / MaskDcY response curves.
+5. **Combination** — ``sqrt(dc_mask*(dc) + mask*(ac))`` per pixel, plus the
+   half-resolution pass blended as ``0.85*full + 0.5*upsampled(half)``.
+   The score is the max-norm of the final map (the classic butteraugli
+   distance; p-norms available).
+
+Everything is static-shape, fusable JAX: blurs run as banded-Toeplitz
+matmuls on the MXU, the Malta sweep is a fused stack of shifted adds, and
+the whole distmap compiles to a single XLA program (jit/vmap friendly).
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import functools
+import math
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-from .blur import blur_separable
 from .color import srgb_u8_to_linear
 
-# Public butteraugli frequency-band sigmas.
-SIGMA_LF = 7.15593339443
-SIGMA_MF = 3.22489901262
-SIGMA_HF = 1.56416327805
-SIGMA_SURROUND = 2.3  # local-adaptation surround for opsin dynamics
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# ---------------------------------------------------------------------------
+# Constants (byte-exact values recovered from the public implementation).
+# ---------------------------------------------------------------------------
+
+SIGMA_SURROUND = 1.2
+SIGMA_LF = 7.1559334
+SIGMA_MF = 3.2248991
+SIGMA_UHF = 1.5641633
+SIGMA_MASK = 2.7
+
+# Opsin absorbance (rows: L, M, S mixes of linear RGB, then bias).
+_OPSIN = np.array(
+    [
+        [0.29956549, 0.63373089, 0.077705614],
+        [0.22158691, 0.69391388, 0.098731361],
+        [0.02, 0.02, 0.20480129],
+    ],
+    np.float32,
+)
+_OPSIN_BIAS = np.array([1.7557484, 1.7557484, 12.226455], np.float32)
+
+# Gamma = 13.339627 * log2(v + 9.9710636) - 23.160463 (FastLog2f rational poly).
+_GAMMA_MUL = 13.339627
+_GAMMA_OFF = 9.9710636
+_GAMMA_SUB = 23.160463
+
+# XybLowFreqToVals.
+_XLF_X = 32.221748
+_XLF_Y = 13.769779
+_XLF_B = 47.504616
+_XLF_Y_TO_B = -0.36226705
+
+# SeparateFrequencies range reshaping.
+_MF_X_REMOVE = 0.29
+_MF_Y_AMPLIFY = 0.1
+_UHF_X_REMOVE = 0.04
+_HF_X_REMOVE = 1.5
+_SUPPRESS_YW = 46.0
+_SUPPRESS_S = 0.6530205607414246
+_MAXCLAMP_HF = 28.469181
+_MAXCLAMP_UHF = 5.1917529
+_MAXCLAMP_MUL = 0.72421616
+_UHF_Y_MUL = 2.6931376
+_HF_Y_MUL = 2.155
+_HF_Y_AMPLIFY = 0.132
+
+# Malta band weights / norms.
+_W_UHF_MALTA = 1.10039032555
+_NORM1_UHF = 71.7800275169
+_W_UHF_MALTA_X = 173.5
+_NORM1_UHF_X = 5.0
+_W_HF_MALTA = 18.7237414387
+_NORM1_HF = 4498534.45232
+_W_HF_MALTA_X = 6923.99476109
+_NORM1_HF_X = 8051.15833247
+_W_MF_MALTA = 37.0819870399
+_NORM1_MF = 130262059.556
+_W_MF_MALTA_X = 8246.75321353
+_NORM1_MF_X = 1009002.70582
+_MALTA_MULLI = 0.39905817637
+_MALTA_MULLI_LF = 0.611612573796
+_MALTA_LEN = 3.75
+_MALTA_W0 = 0.5
+_MALTA_W1 = 0.33000001311302185  # f32-rounded 0.33, as compiled
+
+# L2 band weights: hf X/Y/B, mf X/Y/B, lf X/Y/B.
+_WMUL = (
+    400.0, 1.50815703118, 0.0,
+    2150.0, 10.6195433239, 16.2176043152,
+    29.2353797994, 0.844626970982, 0.703646627719,
+)
+
+# Masking.
+_MASK_HF_MUL = 2.5
+_MASK_UHF_MUL = 0.4
+_DIFF_PRE_MUL = 6.1942406
+_DIFF_PRE_BIAS = 12.610506
+_MASK_DIFF_AC_MUL = 10.0
+_MASKY = (0.451936922203, 0.829591754942, 2.5485944793)
+_MASKDCY = (3.87449418804, 0.20025578522, 0.505054525019)
+_MASK_GLOBAL_SCALE = 0.0710417702794075
+
+# Multi-resolution blend: dest = (1 - 0.3*w)*dest + w*upsampled, w = 0.5.
+_SUPERSAMPLE_W = 0.5
+_SUPERSAMPLE_KEEP = 0.85
+
+# Malta line patterns (dy, dx), recovered numerically from the oracle binary
+# (verified exact).  Full variant: the slope-4 / slope-1/4 lines appear twice
+# in the oracle's unrolled sum, hence weight 2.
+_MALTA_LINES_FULL: Tuple[Tuple[float, Tuple[Tuple[int, int], ...]], ...] = (
+    (1.0, tuple((k, k) for k in range(-3, 4))),
+    (1.0, tuple((k, -k) for k in range(-3, 4))),
+    (2.0, ((-4, -1), (-3, -1), (-2, -1), (-1, 0), (0, 0), (1, 0), (2, 1), (3, 1), (4, 1))),
+    (2.0, ((-4, 1), (-3, 1), (-2, 1), (-1, 0), (0, 0), (1, 0), (2, -1), (3, -1), (4, -1))),
+    (2.0, ((-1, -4), (-1, -3), (-1, -2), (0, -1), (0, 0), (0, 1), (1, 2), (1, 3), (1, 4))),
+    (2.0, ((-1, 2), (-1, 3), (-1, 4), (0, -1), (0, 0), (0, 1), (1, -4), (1, -3), (1, -2))),
+    (1.0, tuple((k, 0) for k in range(-4, 5))),
+    (1.0, tuple((0, k) for k in range(-4, 5))),
+    (1.0, ((-3, -2), (-2, -1), (-1, -1), (0, 0), (1, 1), (2, 1), (3, 2))),
+    (1.0, ((-3, 2), (-2, 1), (-1, 1), (0, 0), (1, -1), (2, -1), (3, -2))),
+    (1.0, ((-2, -3), (-1, -2), (-1, -1), (0, 0), (1, 1), (1, 2), (2, 3))),
+    (1.0, ((-2, 3), (-1, 1), (-1, 2), (0, 0), (1, -2), (1, -1), (2, -3))),
+)
+
+_MALTA_LINES_LF: Tuple[Tuple[float, Tuple[Tuple[int, int], ...]], ...] = (
+    (1.0, ((-4, -2), (-2, -1), (0, 0), (2, 1), (4, 2))),
+    (1.0, ((-4, 2), (-2, 1), (0, 0), (2, -1), (4, -2))),
+    (1.0, ((-2, -4), (-1, -2), (0, 0), (1, 2), (2, 4))),
+    (1.0, ((-2, 4), (-1, 2), (0, 0), (1, -2), (2, -4))),
+    (1.0, ((-3, -3), (-2, -2), (0, 0), (2, 2), (3, 3))),
+    (1.0, ((-3, 3), (-2, 2), (0, 0), (2, -2), (3, -3))),
+    (1.0, ((-4, -1), (-2, -1), (0, 0), (2, 1), (4, 1))),
+    (1.0, ((-4, 1), (-2, 1), (0, 0), (2, -1), (4, -1))),
+    (1.0, ((-1, -4), (-1, -2), (0, 0), (1, 2), (1, 4))),
+    (1.0, ((-1, 2), (-1, 4), (0, 0), (1, -4), (1, -2))),
+    (1.0, ((-4, 0), (-2, 0), (0, 0), (2, 0), (4, 0))),
+    (1.0, ((0, -4), (0, -2), (0, 0), (0, 2), (0, 4))),
+    (1.0, ((-3, -2), (-2, -1), (0, 0), (2, 1), (3, 2))),
+    (1.0, ((-3, 2), (-2, 1), (0, 0), (2, -1), (3, -2))),
+    (1.0, ((-2, -3), (-1, -2), (0, 0), (1, 2), (2, 3))),
+    (1.0, ((-2, 3), (-1, 2), (0, 0), (1, -2), (2, -3))),
+)
 
 
 class ButteraugliParams(NamedTuple):
-    """Calibratable constants (a jax pytree — differentiable end-to-end)."""
+    """The public model's knobs (reference: ButteraugliParams struct)."""
 
-    # Per-band, per-channel weights for (X, Y, B) x (UHF, HF, MF, LF).
-    w_uhf: jnp.ndarray  # (2,) X, Y
-    w_hf: jnp.ndarray  # (2,) X, Y
-    w_mf: jnp.ndarray  # (3,)
-    w_lf: jnp.ndarray  # (3,)
-    # Malta directional line-sum weights (X, Y) on the HF+UHF diff.
-    w_malta: jnp.ndarray  # (2,)
-    # Masking strength, saturation, and activity nonlinearity.
-    mask_strength: jnp.ndarray  # scalar
-    mask_offset: jnp.ndarray  # scalar
-    mask_power: jnp.ndarray  # scalar
-    # Global output scale.
-    out_scale: jnp.ndarray  # scalar
-    # Opsin bias (adaptation floor, in intensity-scaled units).
-    opsin_bias: jnp.ndarray  # scalar
+    hf_asymmetry: float = 0.8
+    xmul: float = 1.0
+    intensity_target: float = 80.0
 
     @classmethod
     def default(cls) -> "ButteraugliParams":
-        return cls(
-            w_uhf=jnp.array([6.0, 12.0], jnp.float32),
-            w_hf=jnp.array([3.0, 6.0], jnp.float32),
-            w_mf=jnp.array([2.0, 2.0, 0.5], jnp.float32),
-            w_lf=jnp.array([2.0, 1.5, 1.0], jnp.float32),
-            w_malta=jnp.array([1.0, 2.0], jnp.float32),
-            mask_strength=jnp.float32(8.0),
-            mask_offset=jnp.float32(0.15),
-            mask_power=jnp.float32(1.0),
-            out_scale=jnp.float32(1.0),
-            opsin_bias=jnp.float32(1.7557483643287353),
-        )
+        return cls()
 
 
-# Calibrated parameter values (generated by tools/calibrate_butteraugli.py
-# against the libjxl golden oracle; see that script for provenance).
-_CALIBRATED_CACHE: list = []
+# ---------------------------------------------------------------------------
+# Blur: truncated Gaussian, border-renormalized, as banded-Toeplitz matmuls.
+# ---------------------------------------------------------------------------
 
 
-def _calibrated() -> ButteraugliParams | None:
-    if not _CALIBRATED_CACHE:
-        try:
-            from . import butteraugli_calibrated as c
+@functools.lru_cache(maxsize=None)
+def _blur_matrix(n: int, sigma: float) -> np.ndarray:
+    """(n, n) row-normalized banded Toeplitz blur operator.
 
-            import numpy as _np
+    Row-normalization reproduces the model's border handling exactly: each
+    output position is a weighted mean over the *in-range* taps.  Runs as a
+    dense matmul on the MXU (the same trick that makes the SSIMULACRA2
+    pipeline fast; see kernels/blur.py notes).
+    """
+    radius = max(1, int(2.25 * sigma))
+    taps = np.exp(-1.0 / (2.0 * sigma * sigma) * np.arange(-radius, radius + 1) ** 2)
+    m = np.zeros((n, n), np.float64)
+    for i, t in enumerate(taps):
+        k = i - radius
+        d = np.diagonal(m, offset=k)
+        d.setflags(write=True) if hasattr(d, "setflags") else None
+        idx = np.arange(max(0, -k), min(n, n - k))
+        m[idx, idx + k] = t
+    m /= m.sum(axis=1, keepdims=True)
+    return m.astype(np.float32)
 
-            # Plain numpy constants: this cache is populated lazily, possibly
-            # inside a jit trace — device arrays created there would leak as
-            # tracers into later traces.
-            _CALIBRATED_CACHE.append(
-                ButteraugliParams(
-                    w_uhf=_np.asarray(c.W_UHF, _np.float32),
-                    w_hf=_np.asarray(c.W_HF, _np.float32),
-                    w_mf=_np.asarray(c.W_MF, _np.float32),
-                    w_lf=_np.asarray(c.W_LF, _np.float32),
-                    w_malta=_np.asarray(
-                        getattr(c, "W_MALTA", [1.0, 2.0]), _np.float32
-                    ),
-                    mask_strength=_np.float32(c.MASK_STRENGTH),
-                    mask_offset=_np.float32(c.MASK_OFFSET),
-                    mask_power=_np.float32(getattr(c, "MASK_POWER", 1.0)),
-                    out_scale=_np.float32(c.OUT_SCALE),
-                    opsin_bias=_np.float32(c.OPSIN_BIAS),
-                )
-            )
-        except ImportError:
-            _CALIBRATED_CACHE.append(None)
-    return _CALIBRATED_CACHE[0]
+
+def _blur(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Blur (..., H, W) planes with the model's renormalized Gaussian."""
+    h, w = planes.shape[-2], planes.shape[-1]
+    bh = jnp.asarray(_blur_matrix(h, sigma))
+    bw = jnp.asarray(_blur_matrix(w, sigma))
+    out = jnp.einsum("ij,...jk->...ik", bh, planes, precision=_HIGHEST)
+    return jnp.einsum("...ik,lk->...il", out, bw, precision=_HIGHEST)
+
+
+def _blur_masked(
+    planes: jnp.ndarray, sigma: float, mrow: jnp.ndarray, mcol: jnp.ndarray
+) -> jnp.ndarray:
+    """Masked blur: renormalize over the valid (top-left) rectangle only.
+
+    ``planes`` must already be zero outside the valid region; ``mrow``/
+    ``mcol`` are the {0,1} row/column validity vectors.  Because the valid
+    region is a rectangle, the renormalization factor separates into an
+    outer product of 1-D blurred masks.
+    """
+    h, w = planes.shape[-2], planes.shape[-1]
+    bh = jnp.asarray(_blur_matrix(h, sigma))
+    bw = jnp.asarray(_blur_matrix(w, sigma))
+    out = jnp.einsum("ij,...jk->...ik", bh, planes, precision=_HIGHEST)
+    out = jnp.einsum("...ik,lk->...il", out, bw, precision=_HIGHEST)
+    denom = jnp.outer(bh @ mrow, bw @ mcol)
+    out = out / jnp.maximum(denom, 1e-9)
+    return out * (mrow[:, None] * mcol[None, :])
+
+
+# ---------------------------------------------------------------------------
+# Gamma (log2-based with the exact FastLog2f bit manipulation).
+# ---------------------------------------------------------------------------
+
+
+def _fast_log2(x: jnp.ndarray) -> jnp.ndarray:
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    e = bits - jnp.int32(0x3F2AAAAB)
+    exp = e >> 23
+    mant = jax.lax.bitcast_convert_type(bits - (exp << 23), jnp.float32)
+    m = mant - 1.0
+    p = (0.74245876 * m + 1.4287161) * m - 1.8503833e-06
+    q = (0.17409343 * m + 1.0096718) * m + 0.99032813
+    return p / q + exp.astype(jnp.float32)
+
+
+def _gamma(v: jnp.ndarray) -> jnp.ndarray:
+    v = jnp.maximum(v, 0.0)
+    return _GAMMA_MUL * _fast_log2(v + _GAMMA_OFF) - _GAMMA_SUB
+
+
+# ---------------------------------------------------------------------------
+# Opsin dynamics.
+# ---------------------------------------------------------------------------
+
+
+def _opsin_absorbance(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(3, H, W) linear RGB (already intensity-scaled) -> LMS-ish mixes."""
+    mixed = jnp.tensordot(jnp.asarray(_OPSIN), rgb, axes=1)
+    return mixed + jnp.asarray(_OPSIN_BIAS)[:, None, None]
 
 
 def _opsin_dynamics(
-    linear_planes: jnp.ndarray,
-    params: ButteraugliParams,
-    mask: jnp.ndarray | None = None,
+    linear_scaled: jnp.ndarray,
+    mask2d: Optional[jnp.ndarray] = None,
+    mrow: Optional[jnp.ndarray] = None,
+    mcol: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Linear RGB planes (3, H, W) in nits -> opponent XYB planes.
-
-    The public model's local adaptation: the compressive response gain
-    (Gamma(v)/v) is evaluated on a blurred surround, then applied to the
-    center pixel's opsin mix — Weber-Fechner adaptation to the local light
-    level.  We use Gamma = cbrt; remaining shape differences are absorbed by
-    the calibrated band weights.
-    """
-    r, g, b = linear_planes[0], linear_planes[1], linear_planes[2]
-    # Butteraugli-style opsin absorbance (L, M, S mixes).
-    mix_l = 0.29956550340058319 * r + 0.63373087833825936 * g + 0.077705617820981968 * b
-    mix_m = 0.22158691104574774 * r + 0.69391388044116142 * g + 0.084499208513090780 * b
-    mix_s = 0.02141848715487256 * r + 0.22023744709290625 * g + 0.75834406575222119 * b
-    mixed = jnp.stack([mix_l, mix_m, mix_s], axis=0) + params.opsin_bias
-    mixed = jnp.maximum(mixed, 1e-4)
-    if mask is not None:
-        # Masked mixed-size path (kernels/masked.py): keep the padding region
-        # exactly zero so the zero-boundary surround blur at valid pixels
-        # sees what the exact-shape kernel sees.
-        mixed = mixed * mask
-
-    surround = jnp.maximum(blur_separable(mixed, SIGMA_SURROUND), 1e-4)
-    # Gain from the surround: Gamma(s)/s with Gamma = cbrt.
-    sensitivity = jnp.cbrt(surround) / surround
-    adapted = mixed * sensitivity
-
-    x = adapted[0] - adapted[1]
-    y = adapted[0] + adapted[1]
-    bb = adapted[2]
-    return jnp.stack([x, y, bb], axis=0)
+    """Intensity-scaled linear RGB planes (3, H, W) -> opponent XYB planes."""
+    if mask2d is None:
+        blurred = _blur(linear_scaled, SIGMA_SURROUND)
+    else:
+        blurred = _blur_masked(linear_scaled * mask2d, SIGMA_SURROUND, mrow, mcol)
+    bias = jnp.asarray(_OPSIN_BIAS)[:, None, None]
+    pre = _opsin_absorbance(blurred)
+    pre = jnp.maximum(jnp.maximum(pre, bias), 1e-4)
+    sens = jnp.maximum(_gamma(pre) / pre, 1e-4)
+    cur = _opsin_absorbance(linear_scaled) * sens
+    cur = jnp.maximum(cur, bias)
+    x = cur[0] - cur[1]
+    y = cur[0] + cur[1]
+    b = cur[2]
+    return jnp.stack([x, y, b], axis=0)
 
 
-class FrequencyBands(NamedTuple):
-    uhf: jnp.ndarray  # (2, H, W) — X, Y only
+# ---------------------------------------------------------------------------
+# Frequency separation.
+# ---------------------------------------------------------------------------
+
+
+def _remove_range(v: jnp.ndarray, w: float) -> jnp.ndarray:
+    return jnp.where(v > w, v - w, jnp.where(v < -w, v + w, 0.0))
+
+
+def _amplify_range(v: jnp.ndarray, w: float) -> jnp.ndarray:
+    return jnp.where(v > w, v + w, jnp.where(v < -w, v - w, 2.0 * v))
+
+
+def _maximum_clamp(v: jnp.ndarray, m: float) -> jnp.ndarray:
+    return jnp.where(
+        v >= m,
+        (v - m) * _MAXCLAMP_MUL + m,
+        jnp.where(v < -m, (v + m) * _MAXCLAMP_MUL - m, v),
+    )
+
+
+class PsychoImage(NamedTuple):
+    uhf: jnp.ndarray  # (2, H, W) — X, Y
     hf: jnp.ndarray  # (2, H, W)
     mf: jnp.ndarray  # (3, H, W)
-    lf: jnp.ndarray  # (3, H, W)
+    lf: jnp.ndarray  # (3, H, W) — already in "vals" space
 
 
 def _separate_frequencies(
-    xyb: jnp.ndarray, mask: jnp.ndarray | None = None
-) -> FrequencyBands:
-    """Split opponent planes into LF/MF/HF/UHF bands (public band structure).
+    xyb: jnp.ndarray,
+    mask2d: Optional[jnp.ndarray] = None,
+    mrow: Optional[jnp.ndarray] = None,
+    mcol: Optional[jnp.ndarray] = None,
+) -> PsychoImage:
+    def blur(p, sigma):
+        if mask2d is None:
+            return _blur(p, sigma)
+        return _blur_masked(p * mask2d, sigma, mrow, mcol)
 
-    With ``mask`` (masked mixed-size path), each blur input is re-zeroed
-    beyond the valid region so valid pixels match the exact-shape kernel.
-    """
-    if mask is not None:
-        xyb = xyb * mask
-    lf = blur_separable(xyb, SIGMA_LF)
-    mf_full = xyb - lf
-    if mask is not None:
-        mf_full = mf_full * mask
-    mf_smooth = blur_separable(mf_full, SIGMA_MF)
-    hf_full = mf_full[:2] - mf_smooth[:2]
-    if mask is not None:
-        hf_full = hf_full * mask
-    hf_smooth = blur_separable(hf_full, SIGMA_HF)
-    uhf = hf_full - hf_smooth
-    return FrequencyBands(uhf=uhf, hf=hf_smooth, mf=mf_smooth, lf=lf)
+    if mask2d is not None:
+        xyb = xyb * mask2d
+    lf = blur(xyb, SIGMA_LF)
+    mf = xyb - lf
+    mf_b = blur(mf[2:3], SIGMA_MF)[0]
+    hf = mf[:2]
+    mf_xy = blur(mf[:2], SIGMA_MF)
+    hf = hf - mf_xy
+    mf_x = _remove_range(mf_xy[0], _MF_X_REMOVE)
+    mf_y = _amplify_range(mf_xy[1], _MF_Y_AMPLIFY)
 
-
-#: Malta line directions (dy, dx) and half-length.
-_MALTA_DIRS = ((0, 1), (1, 0), (1, 1), (1, -1))
-_MALTA_HALF = 2
-
-
-def _malta_diff(d: jnp.ndarray) -> jnp.ndarray:
-    """Directional line-sum energy of a band difference (C, H, W).
-
-    The public model's Malta filters integrate the difference along short
-    oriented lines before squaring, so coherent artifacts (ringing edges,
-    banding) score above incoherent noise of equal energy.  This is the
-    4-direction length-5 core of that idea; max over directions.
-    """
-    c, h, w = d.shape
-    r = _MALTA_HALF
-    dp = jnp.pad(d, ((0, 0), (r, r), (r, r)))
-    best = None
-    for dy, dx in _MALTA_DIRS:
-        acc = jnp.zeros_like(d)
-        for k in range(-r, r + 1):
-            y0 = r + k * dy
-            x0 = r + k * dx
-            acc = acc + dp[:, y0 : y0 + h, x0 : x0 + w]
-        energy = acc * acc * (1.0 / (2 * r + 1))
-        best = energy if best is None else jnp.maximum(best, energy)
-    return best
-
-
-def _hf_activity(
-    bands: "FrequencyBands", mask: jnp.ndarray | None = None
-) -> jnp.ndarray:
-    """Local high-frequency activity of the Y channel (masking driver)."""
-    act = jnp.abs(bands.hf[1:2]) + jnp.abs(bands.uhf[1:2])
-    if mask is not None:
-        act = act * mask
-    return blur_separable(act, SIGMA_MF)[0]
-
-
-def _mask_from_activity(activity: jnp.ndarray, params: ButteraugliParams) -> jnp.ndarray:
-    a = jnp.power(jnp.maximum(activity, 1e-9), params.mask_power)
-    return 1.0 / (1.0 + params.mask_strength * a / (params.mask_offset + a))
-
-
-class ButteraugliReference(NamedTuple):
-    """Precomputed reference-side psycho image: frequency bands + masking
-    activity, reused across every candidate of a quality sweep."""
-
-    bands: FrequencyBands
-    activity: jnp.ndarray
-    params: ButteraugliParams
-
-
-def precompute_butteraugli_reference(
-    ref_u8: jnp.ndarray,
-    intensity_target: float = 80.0,
-    params: ButteraugliParams | None = None,
-) -> ButteraugliReference:
-    if params is None:
-        params = _calibrated() or ButteraugliParams.default()
-    lin1 = jnp.moveaxis(srgb_u8_to_linear(ref_u8), -1, 0) * intensity_target
-    b1 = _separate_frequencies(_opsin_dynamics(lin1, params))
-    return ButteraugliReference(
-        bands=b1, activity=_hf_activity(b1), params=params
+    # XybLowFreqToVals (valb uses the unscaled y plane).
+    lf_vals = jnp.stack(
+        [lf[0] * _XLF_X, lf[1] * _XLF_Y, (lf[2] + _XLF_Y_TO_B * lf[1]) * _XLF_B],
+        axis=0,
     )
 
-
-def butteraugli_distmap_against(
-    ref: ButteraugliReference,
-    dist_u8: jnp.ndarray,
-    intensity_target: float = 80.0,
-    hf_asymmetry: float = 0.8,
-) -> jnp.ndarray:
-    """Distance map of one candidate vs a precomputed reference."""
-    params = ref.params
-    b1 = ref.bands
-    lin2 = jnp.moveaxis(srgb_u8_to_linear(dist_u8), -1, 0) * intensity_target
-    b2 = _separate_frequencies(_opsin_dynamics(lin2, params))
-
-    asym = 2.0 / jnp.maximum(hf_asymmetry, 1e-3)
-
-    def band_diff(band1, band2, weights, asymmetric):
-        d = band2 - band1
-        if asymmetric:
-            added = jnp.abs(band2) - jnp.abs(band1)
-            sq = d * d * jnp.where(added > 0, asym, 1.0)
-        else:
-            sq = d * d
-        return jnp.tensordot(weights, sq, axes=1)
-
-    acc = band_diff(b1.uhf, b2.uhf, params.w_uhf, True)
-    acc = acc + band_diff(b1.hf, b2.hf, params.w_hf, True)
-    acc = acc + band_diff(b1.mf, b2.mf, params.w_mf, False)
-    acc = acc + band_diff(b1.lf, b2.lf, params.w_lf, False)
-    hf_diff = (b2.hf + b2.uhf) - (b1.hf + b1.uhf)
-    acc = acc + jnp.tensordot(params.w_malta, _malta_diff(hf_diff), axes=1)
-    # Two-image masking: activity in EITHER image raises the threshold
-    # (the public model masks from both psycho images).
-    activity = 0.5 * (ref.activity + _hf_activity(b2))
-    mask = _mask_from_activity(activity, params)
-    return jnp.sqrt(jnp.maximum(acc, 0.0) * mask + 1e-12) * params.out_scale
-
-
-def butteraugli_against_reference(
-    ref: ButteraugliReference,
-    dist_u8: jnp.ndarray,
-    intensity_target: float = 80.0,
-    hf_asymmetry: float = 0.8,
-) -> jnp.ndarray:
-    return jnp.max(
-        butteraugli_distmap_against(ref, dist_u8, intensity_target, hf_asymmetry)
+    # Suppress red-green by intensity change (on the full hf, pre-uhf-split).
+    hf_x = hf[0] * (
+        _SUPPRESS_S
+        + (1.0 - _SUPPRESS_S) * _SUPPRESS_YW / (_SUPPRESS_YW + hf[1] * hf[1])
     )
+    hf = jnp.stack([hf_x, hf[1]], axis=0)
+
+    hf_blur = blur(hf, SIGMA_UHF)
+    # X channel.
+    uhf_x = _remove_range(hf[0] - hf_blur[0], _UHF_X_REMOVE)
+    out_hf_x = _remove_range(hf_blur[0], _HF_X_REMOVE)
+    # Y channel.
+    hfc = _maximum_clamp(hf_blur[1], _MAXCLAMP_HF)
+    uhf_y = _maximum_clamp(hf[1] - hfc, _MAXCLAMP_UHF) * _UHF_Y_MUL
+    out_hf_y = _amplify_range(hfc * _HF_Y_MUL, _HF_Y_AMPLIFY)
+
+    pi = PsychoImage(
+        uhf=jnp.stack([uhf_x, uhf_y], axis=0),
+        hf=jnp.stack([out_hf_x, out_hf_y], axis=0),
+        mf=jnp.stack([mf_x, mf_y, mf_b], axis=0),
+        lf=lf_vals,
+    )
+    if mask2d is not None:
+        pi = PsychoImage(
+            uhf=pi.uhf * mask2d, hf=pi.hf * mask2d, mf=pi.mf * mask2d, lf=pi.lf * mask2d
+        )
+    return pi
+
+
+# ---------------------------------------------------------------------------
+# Malta directional line sums.
+# ---------------------------------------------------------------------------
+
+
+def _malta_sweep(diffs: jnp.ndarray, lines) -> jnp.ndarray:
+    """Sum over oriented lines of (line sum)^2, with zero-padded borders."""
+    h, w = diffs.shape
+    pad = jnp.pad(diffs, 4)
+    acc = jnp.zeros_like(diffs)
+    for weight, line in lines:
+        s = None
+        for dy, dx in line:
+            piece = jax.lax.dynamic_slice(pad, (4 + dy, 4 + dx), (h, w))
+            s = piece if s is None else s + piece
+        acc = acc + weight * (s * s)
+    return acc
+
+
+def _malta_diff_map(
+    lum0: jnp.ndarray,
+    lum1: jnp.ndarray,
+    w_0gt1: jnp.ndarray,
+    w_0lt1: jnp.ndarray,
+    norm1: float,
+    mulli: float,
+    lines,
+    mask2d: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    w_pre0gt1 = mulli * jnp.sqrt(_MALTA_W0 * w_0gt1) / (_MALTA_LEN * 2 + 1)
+    w_pre0lt1 = mulli * jnp.sqrt(_MALTA_W1 * w_0lt1) / (_MALTA_LEN * 2 + 1)
+    norm2_0gt1 = w_pre0gt1 * norm1
+    norm2_0lt1 = w_pre0lt1 * norm1
+
+    diff = lum0 - lum1
+    denom = norm1 + 0.5 * (jnp.abs(lum0) + jnp.abs(lum1))
+    diffs = (norm2_0gt1 / denom) * diff
+    scaler2 = norm2_0lt1 / denom
+    fabs0 = jnp.abs(lum0)
+    too_small = 0.55 * fabs0
+    too_big = 1.05 * fabs0
+    impact_pos = jnp.where(
+        lum1 < too_small,
+        scaler2 * (too_small - lum1),
+        jnp.where(lum1 > too_big, -scaler2 * (lum1 - too_big), 0.0),
+    )
+    impact_neg = jnp.where(
+        lum1 > -too_small,
+        -scaler2 * (lum1 + too_small),
+        jnp.where(lum1 < -too_big, scaler2 * (-lum1 - too_big), 0.0),
+    )
+    diffs = diffs + jnp.where(lum0 >= 0, impact_pos, impact_neg)
+    if mask2d is not None:
+        diffs = diffs * mask2d
+    return _malta_sweep(diffs, lines)
+
+
+# ---------------------------------------------------------------------------
+# L2 band diffs.
+# ---------------------------------------------------------------------------
+
+
+def _l2_diff_asymmetric(
+    v0: jnp.ndarray, v1: jnp.ndarray, w_0gt1: jnp.ndarray, w_0lt1: jnp.ndarray
+) -> jnp.ndarray:
+    d = v0 - v1
+    total = 0.8 * w_0gt1 * d * d
+    fabs0 = jnp.abs(v0)
+    too_small = 0.4 * fabs0
+    pos = jnp.where(
+        v1 < too_small, too_small - v1, jnp.where(v1 > fabs0, v1 - fabs0, 0.0)
+    )
+    neg = jnp.where(
+        v1 > -too_small, v1 + too_small, jnp.where(v1 < -fabs0, -v1 - fabs0, 0.0)
+    )
+    v = jnp.where(v0 < 0, neg, pos)
+    return total + 0.8 * w_0lt1 * v * v
+
+
+# ---------------------------------------------------------------------------
+# Masking.
+# ---------------------------------------------------------------------------
+
+
+def _combine_channels_for_masking(pi: PsychoImage) -> jnp.ndarray:
+    xdiff = (pi.uhf[0] + pi.hf[0]) * _MASK_HF_MUL
+    ydiff = pi.uhf[1] * _MASK_UHF_MUL + pi.hf[1] * _MASK_UHF_MUL
+    return jnp.sqrt(xdiff * xdiff + ydiff * ydiff)
+
+
+def _diff_precompute(v: jnp.ndarray) -> jnp.ndarray:
+    bias = _DIFF_PRE_MUL * _DIFF_PRE_BIAS
+    return jnp.sqrt(_DIFF_PRE_MUL * jnp.abs(v) + bias) - math.sqrt(bias)
+
+
+def _fuzzy_erosion(v: jnp.ndarray, mask2d: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """0.45*m0 + 0.3*m1 + 0.25*m2 of {v, 2v, 2v, 8 neighbors at step 3}."""
+    h, w = v.shape
+    big = jnp.float32(np.finfo(np.float32).max / 4)
+    padded = jnp.pad(v, 3, constant_values=big)
+    if mask2d is not None:
+        # Out-of-valid neighbors must not participate in the minimum.
+        padded = jnp.pad(jnp.where(mask2d > 0, v, big), 3, constant_values=big)
+    cands = [v, 2.0 * v, 2.0 * v]
+    for dy in (-3, 0, 3):
+        for dx in (-3, 0, 3):
+            if dy == 0 and dx == 0:
+                continue
+            cands.append(jax.lax.dynamic_slice(padded, (3 + dy, 3 + dx), (h, w)))
+    stacked = jnp.stack(cands, axis=0)
+    smallest = jax.lax.top_k(-jnp.moveaxis(stacked, 0, -1), 3)[0]
+    m0, m1, m2 = -smallest[..., 0], -smallest[..., 1], -smallest[..., 2]
+    return 0.45 * m0 + 0.3 * m1 + 0.25 * m2
+
+
+def _mask_y(d: jnp.ndarray) -> jnp.ndarray:
+    scaler, offset, mul = _MASKY
+    c = mul / (scaler * d + offset)
+    retval = _MASK_GLOBAL_SCALE * (1.0 + c)
+    return retval * retval
+
+
+def _mask_dc_y(d: jnp.ndarray) -> jnp.ndarray:
+    scaler, offset, mul = _MASKDCY
+    c = mul / (scaler * d + offset)
+    retval = _MASK_GLOBAL_SCALE * (1.0 + c)
+    return retval * retval
+
+
+def _mask_psycho_image(
+    pi0: PsychoImage,
+    pi1: PsychoImage,
+    mask2d: Optional[jnp.ndarray] = None,
+    mrow: Optional[jnp.ndarray] = None,
+    mcol: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (mask, diff_ac contribution for the Y channel)."""
+    m0 = _combine_channels_for_masking(pi0)
+    m1 = _combine_channels_for_masking(pi1)
+    d0 = _diff_precompute(m0)
+    d1 = _diff_precompute(m1)
+    if mask2d is None:
+        b0 = _blur(d0, SIGMA_MASK)
+        b1 = _blur(d1, SIGMA_MASK)
+    else:
+        b0 = _blur_masked(d0 * mask2d, SIGMA_MASK, mrow, mcol)
+        b1 = _blur_masked(d1 * mask2d, SIGMA_MASK, mrow, mcol)
+    mask = _fuzzy_erosion(b0, mask2d)
+    diff_ac = _MASK_DIFF_AC_MUL * (b0 - b1) * (b0 - b1)
+    return mask, diff_ac
+
+
+# ---------------------------------------------------------------------------
+# Per-scale diffmap.
+# ---------------------------------------------------------------------------
+
+
+def _diffmap_psycho(
+    pi0: PsychoImage,
+    pi1: PsychoImage,
+    hf_asymmetry: float,
+    xmul: float,
+    mask2d: Optional[jnp.ndarray] = None,
+    mrow: Optional[jnp.ndarray] = None,
+    mcol: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    a = jnp.float32(hf_asymmetry)
+    sqrt_a = jnp.sqrt(a)
+    m2 = mask2d
+
+    ac1 = _malta_diff_map(
+        pi0.uhf[1], pi1.uhf[1], _W_UHF_MALTA * a, _W_UHF_MALTA / a,
+        _NORM1_UHF, _MALTA_MULLI, _MALTA_LINES_FULL, m2,
+    )
+    ac0 = _malta_diff_map(
+        pi0.uhf[0], pi1.uhf[0], _W_UHF_MALTA_X * a, _W_UHF_MALTA_X / a,
+        _NORM1_UHF_X, _MALTA_MULLI, _MALTA_LINES_FULL, m2,
+    )
+    ac1 = ac1 + _malta_diff_map(
+        pi0.hf[1], pi1.hf[1], _W_HF_MALTA * sqrt_a, _W_HF_MALTA / sqrt_a,
+        _NORM1_HF, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
+    )
+    ac0 = ac0 + _malta_diff_map(
+        pi0.hf[0], pi1.hf[0], _W_HF_MALTA_X * sqrt_a, _W_HF_MALTA_X / sqrt_a,
+        _NORM1_HF_X, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
+    )
+    ac1 = ac1 + _malta_diff_map(
+        pi0.mf[1], pi1.mf[1], _W_MF_MALTA, _W_MF_MALTA,
+        _NORM1_MF, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
+    )
+    ac0 = ac0 + _malta_diff_map(
+        pi0.mf[0], pi1.mf[0], _W_MF_MALTA_X, _W_MF_MALTA_X,
+        _NORM1_MF_X, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
+    )
+
+    ac0 = ac0 + _l2_diff_asymmetric(pi0.hf[0], pi1.hf[0], _WMUL[0] * a, _WMUL[0] / a)
+    ac1 = ac1 + _l2_diff_asymmetric(pi0.hf[1], pi1.hf[1], _WMUL[1] * a, _WMUL[1] / a)
+    d_mf = pi0.mf - pi1.mf
+    ac = jnp.stack([ac0, ac1, jnp.zeros_like(ac0)], axis=0)
+    ac = ac + jnp.asarray(_WMUL[3:6], jnp.float32)[:, None, None] * d_mf * d_mf
+    d_lf = pi0.lf - pi1.lf
+    dc = jnp.asarray(_WMUL[6:9], jnp.float32)[:, None, None] * d_lf * d_lf
+
+    mask, mask_diff_ac = _mask_psycho_image(pi0, pi1, mask2d, mrow, mcol)
+    ac = ac.at[1].add(mask_diff_ac)
+
+    maskval = _mask_y(mask)
+    dc_maskval = _mask_dc_y(mask)
+    total = dc_maskval * (xmul * dc[0] + dc[1] + dc[2]) + maskval * (
+        xmul * ac[0] + ac[1] + ac[2]
+    )
+    return jnp.sqrt(jnp.maximum(total, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# Multi-resolution driver.
+# ---------------------------------------------------------------------------
+
+
+def _subsample2x(planes: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W) -> (..., ceil(H/2), ceil(W/2)); mean of available samples."""
+    h, w = planes.shape[-2], planes.shape[-1]
+    ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
+    p = jnp.pad(planes, [(0, 0)] * (planes.ndim - 2) + [(0, ph - h), (0, pw - w)])
+    p = p.reshape(planes.shape[:-2] + (ph // 2, 2, pw // 2, 2))
+    out = 0.25 * p.sum(axis=(-3, -1))
+    if h % 2:
+        out = out.at[..., -1, :].multiply(2.0)
+    if w % 2:
+        out = out.at[..., :, -1].multiply(2.0)
+    return out
+
+
+def _add_supersampled2x(result: jnp.ndarray, sub: jnp.ndarray) -> jnp.ndarray:
+    h, w = result.shape
+    up = jnp.repeat(jnp.repeat(sub, 2, axis=0), 2, axis=1)[:h, :w]
+    return result * _SUPERSAMPLE_KEEP + _SUPERSAMPLE_W * up
+
+
+def _diffmap_from_linear(
+    lin0: jnp.ndarray,
+    lin1: jnp.ndarray,
+    params: ButteraugliParams,
+) -> jnp.ndarray:
+    """(3, H, W) linear RGB pair in [0, 1] -> butteraugli distance map."""
+    h, w = lin0.shape[-2], lin0.shape[-1]
+    if h < 8 or w < 8:
+        return jnp.zeros((h, w), jnp.float32)
+    it = jnp.float32(params.intensity_target)
+
+    def scale_pipeline(l0, l1):
+        xyb0 = _opsin_dynamics(l0 * it)
+        xyb1 = _opsin_dynamics(l1 * it)
+        pi0 = _separate_frequencies(xyb0)
+        pi1 = _separate_frequencies(xyb1)
+        return _diffmap_psycho(pi0, pi1, params.hf_asymmetry, params.xmul)
+
+    result = scale_pipeline(lin0, lin1)
+    sh, sw = (h + 1) // 2, (w + 1) // 2
+    if sh >= 8 and sw >= 8:
+        sub = scale_pipeline(_subsample2x(lin0), _subsample2x(lin1))
+        result = _add_supersampled2x(result, sub)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Public API.
+# ---------------------------------------------------------------------------
 
 
 def butteraugli_distmap(
@@ -301,52 +656,16 @@ def butteraugli_distmap(
     dist_u8: jnp.ndarray,
     intensity_target: float = 80.0,
     hf_asymmetry: float = 0.8,
-    params: ButteraugliParams | None = None,
+    params: Optional[ButteraugliParams] = None,
 ) -> jnp.ndarray:
     """Per-pixel butteraugli distance map for a (H, W, 3) u8 sRGB pair."""
     if params is None:
-        params = _calibrated() or ButteraugliParams.default()
-
-    # Linear [0,1] -> absolute nits at the intensity target (SDR default 80).
-    lin1 = jnp.moveaxis(srgb_u8_to_linear(ref_u8), -1, 0) * intensity_target
-    lin2 = jnp.moveaxis(srgb_u8_to_linear(dist_u8), -1, 0) * intensity_target
-
-    xyb1 = _opsin_dynamics(lin1, params)
-    xyb2 = _opsin_dynamics(lin2, params)
-    b1 = _separate_frequencies(xyb1)
-    b2 = _separate_frequencies(xyb2)
-
-    # Asymmetry: energy added by the codec is worse than energy removed.
-    # hf_asymmetry < 1 strengthens the added-artifact penalty (matches the
-    # reference knob's direction: reference src/metrics/butteraugli.rs).
-    asym = 2.0 / jnp.maximum(hf_asymmetry, 1e-3)
-
-    # |distorted band| - |reference band| > 0 -> added energy.
-    def band_diff(band1, band2, weights, asymmetric):
-        d = band2 - band1
-        if asymmetric:
-            added = jnp.abs(band2) - jnp.abs(band1)
-            sq = d * d * jnp.where(added > 0, asym, 1.0)
-        else:
-            sq = d * d
-        return jnp.tensordot(weights, sq, axes=1)
-
-    acc = band_diff(b1.uhf, b2.uhf, params.w_uhf, True)
-    acc = acc + band_diff(b1.hf, b2.hf, params.w_hf, True)
-    acc = acc + band_diff(b1.mf, b2.mf, params.w_mf, False)
-    acc = acc + band_diff(b1.lf, b2.lf, params.w_lf, False)
-    # Malta directional line sums on the combined HF+UHF difference:
-    # coherent (edge-aligned) artifacts outscore equal-energy noise.
-    hf_diff = (b2.hf + b2.uhf) - (b1.hf + b1.uhf)
-    acc = acc + jnp.tensordot(params.w_malta, _malta_diff(hf_diff), axes=1)
-
-    # Contrast masking from BOTH psycho images: activity in either image
-    # raises the visibility threshold (measured on |HF| + |UHF| of Y).
-    activity = 0.5 * (_hf_activity(b1) + _hf_activity(b2))
-    mask = _mask_from_activity(activity, params)
-    # eps keeps sqrt differentiable at zero (calibration runs grads here).
-    dist = jnp.sqrt(jnp.maximum(acc, 0.0) * mask + 1e-12) * params.out_scale
-    return dist
+        params = ButteraugliParams(
+            hf_asymmetry=hf_asymmetry, intensity_target=intensity_target
+        )
+    lin0 = jnp.moveaxis(srgb_u8_to_linear(ref_u8), -1, 0)
+    lin1 = jnp.moveaxis(srgb_u8_to_linear(dist_u8), -1, 0)
+    return _diffmap_from_linear(lin0, lin1, params)
 
 
 def butteraugli(
@@ -354,7 +673,7 @@ def butteraugli(
     dist_u8: jnp.ndarray,
     intensity_target: float = 80.0,
     hf_asymmetry: float = 0.8,
-    params: ButteraugliParams | None = None,
+    params: Optional[ButteraugliParams] = None,
 ) -> jnp.ndarray:
     """Butteraugli score (max-norm distance).  Jittable / vmappable.
 
@@ -378,3 +697,75 @@ def butteraugli_pnorm(
     """p-norm of the distance map (jxl-style aggregate)."""
     dmap = butteraugli_distmap(ref_u8, dist_u8, intensity_target, hf_asymmetry)
     return jnp.power(jnp.mean(jnp.power(jnp.maximum(dmap, 0.0), p)), 1.0 / p)
+
+
+# ---------------------------------------------------------------------------
+# Precomputed-reference path (quality sweeps score many candidates against
+# one reference: the reference-side opsin + frequency separation at both
+# scales is computed once).
+# ---------------------------------------------------------------------------
+
+
+class ButteraugliReference(NamedTuple):
+    pi0_full: PsychoImage
+    pi0_sub: Optional[PsychoImage]
+    lin_sub_available: bool
+    params: ButteraugliParams
+    shape: Tuple[int, int]
+
+
+def precompute_butteraugli_reference(
+    ref_u8: jnp.ndarray,
+    intensity_target: float = 80.0,
+    params: Optional[ButteraugliParams] = None,
+) -> ButteraugliReference:
+    if params is None:
+        params = ButteraugliParams(intensity_target=intensity_target)
+    lin0 = jnp.moveaxis(srgb_u8_to_linear(ref_u8), -1, 0)
+    h, w = lin0.shape[-2], lin0.shape[-1]
+    it = jnp.float32(params.intensity_target)
+    pi0_full = _separate_frequencies(_opsin_dynamics(lin0 * it))
+    sh, sw = (h + 1) // 2, (w + 1) // 2
+    pi0_sub = None
+    if h >= 8 and w >= 8 and sh >= 8 and sw >= 8:
+        pi0_sub = _separate_frequencies(_opsin_dynamics(_subsample2x(lin0) * it))
+    return ButteraugliReference(
+        pi0_full=pi0_full,
+        pi0_sub=pi0_sub,
+        lin_sub_available=pi0_sub is not None,
+        params=params,
+        shape=(h, w),
+    )
+
+
+def butteraugli_distmap_against(
+    ref: ButteraugliReference,
+    dist_u8: jnp.ndarray,
+    intensity_target: float = 80.0,
+    hf_asymmetry: float = 0.8,
+) -> jnp.ndarray:
+    """Distance map of one candidate vs a precomputed reference."""
+    params = ref.params._replace(hf_asymmetry=hf_asymmetry)
+    h, w = ref.shape
+    if h < 8 or w < 8:
+        return jnp.zeros((h, w), jnp.float32)
+    it = jnp.float32(params.intensity_target)
+    lin1 = jnp.moveaxis(srgb_u8_to_linear(dist_u8), -1, 0)
+    pi1 = _separate_frequencies(_opsin_dynamics(lin1 * it))
+    result = _diffmap_psycho(ref.pi0_full, pi1, params.hf_asymmetry, params.xmul)
+    if ref.pi0_sub is not None:
+        pi1s = _separate_frequencies(_opsin_dynamics(_subsample2x(lin1) * it))
+        sub = _diffmap_psycho(ref.pi0_sub, pi1s, params.hf_asymmetry, params.xmul)
+        result = _add_supersampled2x(result, sub)
+    return result
+
+
+def butteraugli_against_reference(
+    ref: ButteraugliReference,
+    dist_u8: jnp.ndarray,
+    intensity_target: float = 80.0,
+    hf_asymmetry: float = 0.8,
+) -> jnp.ndarray:
+    return jnp.max(
+        butteraugli_distmap_against(ref, dist_u8, intensity_target, hf_asymmetry)
+    )

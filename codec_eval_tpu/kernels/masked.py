@@ -234,54 +234,60 @@ def butteraugli_masked(
 ) -> jnp.ndarray:
     """Butteraugli (max-norm) of a zero-padded pair; jittable, dims dynamic.
 
-    Butteraugli has no pyramid, so the exactness argument is just the blur
-    half of the recipe: every blur input (opsin mix, band residuals, HF
-    activity) is re-zeroed beyond the valid region inside the mask-aware
-    band pipeline, making valid pixels bit-equal to the exact-shape kernel;
-    the final max-norm is taken over valid pixels only.
+    The faithful pipeline (kernels/butteraugli.py) is mask-aware end to end:
+    every blur renormalizes over the valid rectangle only (masked
+    banded-Toeplitz operators), the Malta diffs and FuzzyErosion exclude
+    out-of-valid samples, and the half-resolution pass applies the same
+    odd-dim downscale correction as the SSIMULACRA2 masked pyramid.  The
+    final max-norm is taken over valid pixels only.
     """
     from .butteraugli import (
         ButteraugliParams,
-        _calibrated,
-        _hf_activity,
-        _malta_diff,
-        _mask_from_activity,
+        _add_supersampled2x,
+        _diffmap_psycho,
         _opsin_dynamics,
         _separate_frequencies,
     )
 
-    params = _calibrated() or ButteraugliParams.default()
+    params = ButteraugliParams(
+        hf_asymmetry=hf_asymmetry, intensity_target=intensity_target
+    )
     h, w = ref_pad_u8.shape[0], ref_pad_u8.shape[1]
     vh = jnp.minimum(jnp.asarray(valid_h, jnp.int32), h)
     vw = jnp.minimum(jnp.asarray(valid_w, jnp.int32), w)
-    mask = _valid_mask(h, w, vh, vw)[None]
 
-    lin1 = jnp.moveaxis(srgb_u8_to_linear(ref_pad_u8), -1, 0) * intensity_target
-    lin2 = jnp.moveaxis(srgb_u8_to_linear(dist_pad_u8), -1, 0) * intensity_target
-    b1 = _separate_frequencies(_opsin_dynamics(lin1, params, mask), mask)
-    b2 = _separate_frequencies(_opsin_dynamics(lin2, params, mask), mask)
+    it = jnp.float32(intensity_target)
+    lin1 = jnp.moveaxis(srgb_u8_to_linear(ref_pad_u8), -1, 0)
+    lin2 = jnp.moveaxis(srgb_u8_to_linear(dist_pad_u8), -1, 0)
 
-    asym = 2.0 / jnp.maximum(hf_asymmetry, 1e-3)
+    def masked_scale(l1, l2, cvh, cvw):
+        hh, ww = l1.shape[-2], l1.shape[-1]
+        mrow = (jnp.arange(hh) < cvh).astype(jnp.float32)
+        mcol = (jnp.arange(ww) < cvw).astype(jnp.float32)
+        m2 = mrow[:, None] * mcol[None, :]
+        b1 = _separate_frequencies(
+            _opsin_dynamics(l1 * it, m2, mrow, mcol), m2, mrow, mcol
+        )
+        b2 = _separate_frequencies(
+            _opsin_dynamics(l2 * it, m2, mrow, mcol), m2, mrow, mcol
+        )
+        dmap = _diffmap_psycho(
+            b1, b2, hf_asymmetry, params.xmul, mask2d=m2, mrow=mrow, mcol=mcol
+        )
+        return dmap, m2
 
-    def band_diff(band1, band2, weights, asymmetric):
-        d = band2 - band1
-        if asymmetric:
-            added = jnp.abs(band2) - jnp.abs(band1)
-            sq = d * d * jnp.where(added > 0, asym, 1.0)
-        else:
-            sq = d * d
-        return jnp.tensordot(weights, sq, axes=1)
+    dmap, m2 = masked_scale(lin1, lin2, vh, vw)
+    # Half-resolution pass (bucket dims are even; valid dims ceil(v/2) with
+    # the odd-dim available-sample correction).
+    s1, svh, svw = _downscale_masked(lin1, vh, vw)
+    s2, _, _ = _downscale_masked(lin2, vh, vw)
+    sub_dmap, _ = masked_scale(s1, s2, svh, svw)
+    blended = _add_supersampled2x(dmap, sub_dmap)
+    # The exact-shape kernel only adds the sub-scale when ceil(v/2) >= 8.
+    dmap = jnp.where((svh >= 8) & (svw >= 8), blended, dmap)
 
-    acc = band_diff(b1.uhf, b2.uhf, params.w_uhf, True)
-    acc = acc + band_diff(b1.hf, b2.hf, params.w_hf, True)
-    acc = acc + band_diff(b1.mf, b2.mf, params.w_mf, False)
-    acc = acc + band_diff(b1.lf, b2.lf, params.w_lf, False)
-    hf_diff = ((b2.hf + b2.uhf) - (b1.hf + b1.uhf)) * mask
-    acc = acc + jnp.tensordot(params.w_malta, _malta_diff(hf_diff), axes=1)
-    activity = 0.5 * (_hf_activity(b1, mask) + _hf_activity(b2, mask))
-    vmask = _mask_from_activity(activity, params)
-    dmap = jnp.sqrt(jnp.maximum(acc, 0.0) * vmask + 1e-12) * params.out_scale
-    score = jnp.max(dmap * mask[0])
+    score = jnp.max(dmap * m2)
+    score = jnp.where((vh >= 8) & (vw >= 8), score, 0.0)
     identical = jnp.all(ref_pad_u8 == dist_pad_u8)
     return jnp.where(identical, jnp.asarray(0.0, score.dtype), score)
 
