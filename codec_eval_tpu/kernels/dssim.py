@@ -1,11 +1,40 @@
-"""DSSIM (structural dissimilarity) as a fused JAX/XLA pipeline.
+"""DSSIM (structural dissimilarity) — dssim-core's recipe as fused JAX/XLA.
 
 TPU-native replacement for the scoring path the reference delegates to the
 SIMD ``dssim-core`` crate (reference: src/metrics/dssim.rs:40-70).  Returns
-``1/ssim - 1`` (0 = identical, larger = worse) from a multi-scale SSIM over
-a perceptually uniform Lab-like space on linear-light input, following the
-same recipe dssim-core documents: D65 Lab channels, 2x2 pyramid with the
-Wang et al. MS-SSIM scale weights, Gaussian-windowed SSIM statistics.
+``1/ssim - 1`` (0 = identical, larger = worse).
+
+This follows dssim-core's documented algorithm structurally, component by
+component:
+
+- **Color space**: linear-light RGB -> scaled Lab (D65), with dssim-core's
+  published encoding: ``L = 1.16*f(Y)`` in [0, 1], and the chroma channels
+  offset into positive range by its documented fudges ``86.2/220`` and
+  ``107.9/220`` (`tolab.rs`).
+- **Chroma subsampling**: a*/b* are box-downsampled to HALF resolution
+  before the scale pyramid and carry HALF the luma weight per scale — the
+  actual subsampling the round-1 build only modelled as a channel weight.
+- **Window**: dssim-core's small near-Gaussian window — a separable 3-tap
+  kernel ``[0.3087588, 0.3824827, 0.3087588]`` (outer product = its 3x3
+  ``KERNEL`` constants 0.095332/0.118095/0.146293, a truncated sigma~1.53
+  Gaussian), edge-replicated borders (vImage ``kvImageEdgeExtend``
+  semantics).
+- **Scales**: 2x2 box pyramid, per-scale weights = the Wang et al. MS-SSIM
+  weights dssim-core uses; per scale and channel the plain mean of the SSIM
+  map (C1 = 0.01^2, C2 = 0.03^2 on [0, 1] channels).
+- **Aggregation**: weighted average over (scale x channel), then
+  ``1/ssim - 1``.
+
+The raw value is reported with NO rescaling.  Output magnitudes line up with
+the dssim-core scale the reference's README documents (README.md:258-266:
+< 0.001 visually identical, 0.001-0.01 excellent, 0.01-0.05 good).  Note the
+reference's *PerceptionLevel* DSSIM thresholds (0.0003..0.003,
+src/metrics/mod.rs:17-27) are a much stricter ladder than that table; both
+are preserved as-is.  Relative to Butteraugli, DSSIM is variance-like
+(quadratic in error amplitude) so log-DSSIM moves ~2x as fast as
+log-Butteraugli across a quality sweep — an inherent property, verified in
+tools/dssim_check.py, NOT something to be calibrated away (the round-1
+power-map rescale distorted relative comparisons and is gone).
 
 Input contract matches the reference wrapper: linear-light RGB(A) f32
 (callers convert from sRGB u8 via ``rgb8_to_dssim_image`` semantics,
@@ -14,81 +43,114 @@ reference: src/metrics/dssim.rs:102-131).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import jax
 import jax.numpy as jnp
 
-from .blur import blur_separable, downscale_by_2
+from .blur import downscale_by_2
 
-# MS-SSIM per-scale weights (Wang et al. 2003), also used by dssim-core.
+# Per-scale weights (Wang et al. MS-SSIM), used by dssim-core.
 SCALE_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
+
+# Chroma channels carry half the luma weight at each scale (on top of being
+# half resolution).
+CHROMA_WEIGHT = 0.5
 
 # SSIM stabilizers on [0, 1]-ranged channels.
 C1 = 0.01**2
 C2 = 0.03**2
 
-# Channel weighting: luminance dominates, chroma contributes at reduced
-# weight (dssim-core subsamples chroma to half resolution with half weight;
-# we model that as a direct weight on full-res chroma SSIM).
-CHANNEL_WEIGHTS = (1.0, 0.25, 0.25)
+# dssim-core's separable window taps: outer product gives its 3x3 KERNEL
+# constants (0.095332, 0.118095, 0.146293) — a truncated sigma~1.53 Gaussian.
+_BLUR_TAPS = (0.3087588, 0.3824827, 0.3087588)
 
-SIGMA = 1.5
+# Lab encoding constants (dssim-core `tolab.rs`): D65 white, the CIE L*
+# linear-segment parameters, and the positive-range chroma offsets.
+_D65_X, _D65_Y, _D65_Z = 0.9505, 1.0, 1.089
+_EPSILON = 216.0 / 24389.0
+_KAPPA_116 = (24389.0 / 27.0) / 116.0
 
-# D65 reference white for Lab.
-_XN, _YN, _ZN = 0.95047, 1.0, 1.08883
+
+def _lab_f(t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(
+        t > _EPSILON,
+        jnp.cbrt(jnp.maximum(t, 1e-12)) - 16.0 / 116.0,
+        _KAPPA_116 * t,
+    )
 
 
 def _linear_rgb_to_lab_planes(rgb_planes: jnp.ndarray) -> jnp.ndarray:
-    """Linear RGB (3, H, W) -> normalized Lab planes (3, H, W), L in [0,1]."""
+    """Linear RGB (3, H, W) -> dssim-core's scaled Lab planes (3, H, W).
+
+    L in [0, 1]; a*/b* offset into positive range by the 86.2/220 and
+    107.9/220 fudges.
+    """
     r, g, b = rgb_planes[0], rgb_planes[1], rgb_planes[2]
-    # sRGB D65 matrix (elementwise FMAs — keep off the bf16 MXU path).
-    x = 0.4124564 * r + 0.3575761 * g + 0.1804375 * b
-    y = 0.2126729 * r + 0.7151522 * g + 0.0721750 * b
-    z = 0.0193339 * r + 0.1191920 * g + 0.9503041 * b
-
-    def f(t):
-        delta = 6.0 / 29.0
-        return jnp.where(
-            t > delta**3,
-            jnp.cbrt(jnp.maximum(t, 1e-12)),
-            t / (3 * delta * delta) + 4.0 / 29.0,
-        )
-
-    fx, fy, fz = f(x / _XN), f(y / _YN), f(z / _ZN)
-    l_chan = 1.16 * fy - 0.16  # L*/100 in [0, 1]
-    a_chan = 5.0 * (fx - fy)  # a*/100
-    b_chan = 2.0 * (fy - fz)  # b*/100
+    fx = (0.4124 * r + 0.3576 * g + 0.1805 * b) / _D65_X
+    fy = (0.2126 * r + 0.7152 * g + 0.0722 * b) / _D65_Y
+    fz = (0.0193 * r + 0.1192 * g + 0.9505 * b) / _D65_Z
+    x, y, z = _lab_f(fx), _lab_f(fy), _lab_f(fz)
+    l_chan = 1.16 * y
+    a_chan = 86.2 / 220.0 + (500.0 / 220.0) * (x - y)
+    b_chan = 107.9 / 220.0 + (200.0 / 220.0) * (y - z)
     return jnp.stack([l_chan, a_chan, b_chan], axis=0)
 
 
-def _scale_ssim(ch1: jnp.ndarray, ch2: jnp.ndarray) -> jnp.ndarray:
-    """Mean SSIM per channel for one scale: (3, H, W) x2 -> (3,)."""
-    stacked = jnp.concatenate(
-        [ch1, ch2, ch1 * ch1, ch2 * ch2, ch1 * ch2], axis=0
-    )  # (15, H, W)
-    blurred = blur_separable(stacked, SIGMA)
-    mu1, mu2 = blurred[0:3], blurred[3:6]
-    s11, s22, s12 = blurred[6:9], blurred[9:12], blurred[12:15]
+def _blur_window(planes: jnp.ndarray) -> jnp.ndarray:
+    """dssim-core's 3x3 window blur on (C, H, W), edge-replicated borders."""
+    a, b, _ = _BLUR_TAPS
+    c, h, w = planes.shape
+    xp = jnp.pad(planes, ((0, 0), (1, 1), (0, 0)), mode="edge")
+    out = a * xp[:, 0:h, :] + b * xp[:, 1 : 1 + h, :] + a * xp[:, 2 : 2 + h, :]
+    xp = jnp.pad(out, ((0, 0), (0, 0), (1, 1)), mode="edge")
+    return a * xp[:, :, 0:w] + b * xp[:, :, 1 : 1 + w] + a * xp[:, :, 2 : 2 + w]
+
+
+def _lab_channel_pyramids(lab: jnp.ndarray) -> list[jnp.ndarray]:
+    """Per-scale channel stacks: luma at full res, chroma pre-halved.
+
+    Returns, for each scale, a (3, h, w) "virtual" stack represented as a
+    pair — luma plane (1, h, w) and chroma planes (2, ceil(h/2), ceil(w/2)).
+    """
+    luma = lab[:1]
+    chroma = downscale_by_2(lab[1:])
+    stacks = []
+    for scale in range(len(SCALE_WEIGHTS)):
+        if scale:
+            luma = downscale_by_2(luma)
+            chroma = downscale_by_2(chroma)
+        stacks.append((luma, chroma))
+    return stacks
+
+
+def _ssim_means(
+    ch1: jnp.ndarray,
+    mu1: jnp.ndarray,
+    s11: jnp.ndarray,
+    ch2: jnp.ndarray,
+) -> jnp.ndarray:
+    """Mean SSIM per plane of a (C, H, W) stack, reference moments given."""
+    stacked = jnp.concatenate([ch2, ch2 * ch2, ch1 * ch2], axis=0)
+    blurred = _blur_window(stacked)
+    n = ch1.shape[0]
+    mu2, s22, s12 = blurred[:n], blurred[n : 2 * n], blurred[2 * n :]
     mu11, mu22, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    var1 = s11 - mu11
-    var2 = s22 - mu22
-    cov = s12 - mu12
-    ssim_map = ((2.0 * mu12 + C1) * (2.0 * cov + C2)) / (
-        (mu11 + mu22 + C1) * (var1 + var2 + C2)
+    ssim_map = ((2.0 * mu12 + C1) * (2.0 * (s12 - mu12) + C2)) / (
+        (mu11 + mu22 + C1) * ((s11 - mu11) + (s22 - mu22) + C2)
     )
     return ssim_map.mean(axis=(1, 2))
 
 
-from typing import NamedTuple
-
-
 class DssimReference(NamedTuple):
-    """Per-scale precomputed reference data (Lab pyramid + blurred moments),
+    """Per-scale precomputed reference data (Lab pyramids + window moments),
     reused across candidates — the same amortization as
-    ``Ssimulacra2Reference`` (crates/codec-iter/src/eval.rs:138)."""
+    ``Ssimulacra2Reference`` (crates/codec-iter/src/eval.rs:138).  Each entry
+    is a (luma, chroma) pair; chroma is half the luma resolution."""
 
-    lab: tuple  # per scale: (3, h, w)
-    mu: tuple  # blur(lab)
-    sqblur: tuple  # blur(lab*lab)
+    planes: tuple  # per scale: (luma (1,h,w), chroma (2,h2,w2))
+    mu: tuple  # blur of each
+    sqblur: tuple  # blur of each squared
 
 
 def precompute_dssim_reference(ref_linear: jnp.ndarray) -> DssimReference:
@@ -96,55 +158,42 @@ def precompute_dssim_reference(ref_linear: jnp.ndarray) -> DssimReference:
     if ref_linear.shape[-1] == 3 and ref_linear.ndim == 3:
         ref_linear = jnp.moveaxis(ref_linear, -1, 0)
     lab = _linear_rgb_to_lab_planes(ref_linear)
-    labs, mus, sqs = [], [], []
-    for scale in range(len(SCALE_WEIGHTS)):
-        if scale:
-            lab = downscale_by_2(lab)
-        blurred = blur_separable(jnp.concatenate([lab, lab * lab], axis=0), SIGMA)
-        labs.append(lab)
-        mus.append(blurred[:3])
-        sqs.append(blurred[3:])
-    return DssimReference(tuple(labs), tuple(mus), tuple(sqs))
+    planes, mus, sqs = [], [], []
+    for luma, chroma in _lab_channel_pyramids(lab):
+        bl = _blur_window(jnp.concatenate([luma, luma * luma], axis=0))
+        bc = _blur_window(jnp.concatenate([chroma, chroma * chroma], axis=0))
+        planes.append((luma, chroma))
+        mus.append((bl[:1], bc[:2]))
+        sqs.append((bl[1:], bc[2:]))
+    return DssimReference(tuple(planes), tuple(mus), tuple(sqs))
 
 
-def _scale_ssim_against(
-    lab1: jnp.ndarray, mu1: jnp.ndarray, s11: jnp.ndarray, lab2: jnp.ndarray
-) -> jnp.ndarray:
-    """Mean SSIM per channel using precomputed reference moments."""
-    stacked = jnp.concatenate([lab2, lab2 * lab2, lab1 * lab2], axis=0)
-    blurred = blur_separable(stacked, SIGMA)
-    mu2, s22, s12 = blurred[0:3], blurred[3:6], blurred[6:9]
-    mu11, mu22, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    var1 = s11 - mu11
-    var2 = s22 - mu22
-    cov = s12 - mu12
-    ssim_map = ((2.0 * mu12 + C1) * (2.0 * cov + C2)) / (
-        (mu11 + mu22 + C1) * (var1 + var2 + C2)
-    )
-    return ssim_map.mean(axis=(1, 2))
+def _aggregate(per_scale_luma: list, per_scale_chroma: list) -> jnp.ndarray:
+    total = jnp.asarray(0.0, dtype=per_scale_luma[0].dtype)
+    wsum = 0.0
+    for s, w in enumerate(SCALE_WEIGHTS):
+        total = total + w * per_scale_luma[s][0]
+        total = total + w * CHROMA_WEIGHT * jnp.sum(per_scale_chroma[s])
+        wsum += w * (1.0 + 2.0 * CHROMA_WEIGHT)
+    ssim = jnp.clip(total / wsum, 1e-6, 1.0)
+    return 1.0 / ssim - 1.0
 
 
 def dssim_against_reference(
     ref: DssimReference, dist_linear: jnp.ndarray
 ) -> jnp.ndarray:
-    """Raw->calibrated DSSIM of one candidate vs a precomputed reference."""
+    """DSSIM of one candidate vs a precomputed reference."""
     if dist_linear.shape[-1] == 3 and dist_linear.ndim == 3:
         dist_linear = jnp.moveaxis(dist_linear, -1, 0)
     lab2 = _linear_rgb_to_lab_planes(dist_linear)
-    cweights = jnp.asarray(CHANNEL_WEIGHTS)
-    total = jnp.asarray(0.0, dtype=lab2.dtype)
-    weight_sum = 0.0
-    for scale, sweight in enumerate(SCALE_WEIGHTS):
-        if scale:
-            lab2 = downscale_by_2(lab2)
-        per_channel = _scale_ssim_against(
-            ref.lab[scale], ref.mu[scale], ref.sqblur[scale], lab2
-        )
-        combined = jnp.sum(per_channel * cweights) / jnp.sum(cweights)
-        total = total + sweight * combined
-        weight_sum += sweight
-    ssim = jnp.clip(total / weight_sum, 1e-6, 1.0)
-    return _calibrate_scale(1.0 / ssim - 1.0)
+    luma_means, chroma_means = [], []
+    for s, (luma2, chroma2) in enumerate(_lab_channel_pyramids(lab2)):
+        l1, c1 = ref.planes[s]
+        lmu, cmu = ref.mu[s]
+        lsq, csq = ref.sqblur[s]
+        luma_means.append(_ssim_means(l1, lmu, lsq, luma2))
+        chroma_means.append(_ssim_means(c1, cmu, csq, chroma2))
+    return _aggregate(luma_means, chroma_means)
 
 
 def dssim(ref_linear: jnp.ndarray, dist_linear: jnp.ndarray) -> jnp.ndarray:
@@ -156,42 +205,11 @@ def dssim(ref_linear: jnp.ndarray, dist_linear: jnp.ndarray) -> jnp.ndarray:
     if ref_linear.shape[-1] == 3 and ref_linear.ndim == 3:
         ref_linear = jnp.moveaxis(ref_linear, -1, 0)
         dist_linear = jnp.moveaxis(dist_linear, -1, 0)
-
-    lab1 = _linear_rgb_to_lab_planes(ref_linear)
-    lab2 = _linear_rgb_to_lab_planes(dist_linear)
-
-    cweights = jnp.asarray(CHANNEL_WEIGHTS)
-    total = jnp.asarray(0.0, dtype=lab1.dtype)
-    weight_sum = 0.0
-    for scale, sweight in enumerate(SCALE_WEIGHTS):
-        if scale:
-            lab1 = downscale_by_2(lab1)
-            lab2 = downscale_by_2(lab2)
-        per_channel = _scale_ssim(lab1, lab2)  # (3,)
-        combined = jnp.sum(per_channel * cweights) / jnp.sum(cweights)
-        total = total + sweight * combined
-        weight_sum += sweight
-    ssim = total / weight_sum
-    ssim = jnp.clip(ssim, 1e-6, 1.0)
-    raw = 1.0 / ssim - 1.0
-    val = _calibrate_scale(raw)
+    ref = precompute_dssim_reference(ref_linear)
+    val = dssim_against_reference(ref, dist_linear)
     # Exact-zero guarantee for identical buffers (mirrors reference behavior).
     identical = jnp.all(ref_linear == dist_linear)
     return jnp.where(identical, jnp.asarray(0.0, val.dtype), val)
-
-
-def _calibrate_scale(raw: jnp.ndarray) -> jnp.ndarray:
-    """Map the raw dissimilarity onto the reference's DSSIM threshold scale.
-
-    The monotone power map is fitted by tools/calibrate_dssim.py via the
-    perception-band correspondence with canonical butteraugli (the DSSIM and
-    Butteraugli threshold tables label the same bands,
-    reference: src/metrics/mod.rs:17-27)."""
-    try:
-        from .dssim_calibrated import SCALE_A, SCALE_B
-    except ImportError:
-        return raw
-    return SCALE_A * jnp.power(jnp.maximum(raw, 1e-12), SCALE_B)
 
 
 def dssim_u8(ref_u8: jnp.ndarray, dist_u8: jnp.ndarray) -> jnp.ndarray:

@@ -165,6 +165,34 @@ def ssimulacra2_masked(
     return jnp.where(identical, jnp.asarray(100.0, score.dtype), score)
 
 
+def _blur_window_masked(
+    planes: jnp.ndarray, vh: jnp.ndarray, vw: jnp.ndarray
+) -> jnp.ndarray:
+    """dssim-core's 3-tap window blur, EXACT at valid pixels under dynamic
+    valid dims.
+
+    The exact-shape kernel edge-replicates (kernels/dssim._blur_window); on a
+    zero-beyond-valid array the out-of-range tap reads 0 instead of the
+    replicated edge sample, so we add ``tap * x`` back on the two boundary
+    lines of each axis — bitwise the replicate result at every valid pixel.
+    Rows/cols beyond valid receive spill garbage; callers mask at pooling.
+    """
+    from .dssim import _BLUR_TAPS
+
+    a, b, _ = _BLUR_TAPS
+    c, h, w = planes.shape
+    ri = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    rfix = ((ri == 0).astype(planes.dtype) + (ri == vh - 1).astype(planes.dtype))
+    xp = jnp.pad(planes, ((0, 0), (1, 1), (0, 0)))
+    out = a * xp[:, 0:h, :] + b * xp[:, 1 : 1 + h, :] + a * xp[:, 2 : 2 + h, :]
+    out = out + a * planes * rfix[None]
+    cfix = ((ci == 0).astype(planes.dtype) + (ci == vw - 1).astype(planes.dtype))
+    xp = jnp.pad(out, ((0, 0), (0, 0), (1, 1)))
+    out2 = a * xp[:, :, 0:w] + b * xp[:, :, 1 : 1 + w] + a * xp[:, :, 2 : 2 + w]
+    return out2 + a * out * cfix[None]
+
+
 def dssim_masked(
     ref_pad_u8: jnp.ndarray,
     dist_pad_u8: jnp.ndarray,
@@ -173,53 +201,69 @@ def dssim_masked(
 ) -> jnp.ndarray:
     """DSSIM of a zero-padded sRGB u8 pair; jittable, valid dims dynamic.
 
-    Same exactness argument as ``ssimulacra2_masked``: DSSIM's pipeline uses
-    the same zero-boundary blur and edge-clamped downscale.  Lab of black is
-    exactly (0, 0, 0), but the planes are re-masked anyway to kill float
-    round-off in the padding.
+    Mirrors kernels/dssim.py (dssim-core recipe: half-res chroma at half
+    weight, 3-tap replicate window) with the same exactness argument as
+    ``ssimulacra2_masked``: Lab planes are re-zeroed beyond valid before
+    every spatial op (Lab of black has nonzero chroma offsets), the window
+    blur applies boundary-line corrections that reproduce edge replication
+    exactly, and downscales apply the odd-dim correction.
     """
     from .dssim import (
         C1 as D_C1,
         C2 as D_C2,
-        CHANNEL_WEIGHTS,
+        CHROMA_WEIGHT,
         SCALE_WEIGHTS,
-        SIGMA as D_SIGMA,
-        _calibrate_scale,
         _linear_rgb_to_lab_planes,
     )
 
     vh = jnp.minimum(jnp.asarray(valid_h, jnp.int32), ref_pad_u8.shape[0])
     vw = jnp.minimum(jnp.asarray(valid_w, jnp.int32), ref_pad_u8.shape[1])
+    mask0 = _valid_mask(ref_pad_u8.shape[0], ref_pad_u8.shape[1], vh, vw)
     lab1 = _linear_rgb_to_lab_planes(
         jnp.moveaxis(srgb_u8_to_linear(ref_pad_u8), -1, 0)
-    )
+    ) * mask0[None]
     lab2 = _linear_rgb_to_lab_planes(
         jnp.moveaxis(srgb_u8_to_linear(dist_pad_u8), -1, 0)
-    )
-    cweights = jnp.asarray(CHANNEL_WEIGHTS)
-    total = jnp.asarray(0.0, dtype=lab1.dtype)
-    weight_sum = 0.0
-    for scale, sweight in enumerate(SCALE_WEIGHTS):
-        if scale:
-            lab1, _, _ = _downscale_masked(lab1, vh, vw)
-            lab2, vh, vw = _downscale_masked(lab2, vh, vw)
-        mask = _valid_mask(lab1.shape[1], lab1.shape[2], vh, vw)
-        count = (vh * vw).astype(jnp.float32)
-        l1 = lab1 * mask[None]
-        l2 = lab2 * mask[None]
-        stacked = jnp.concatenate([l1, l2, l1 * l1, l2 * l2, l1 * l2], axis=0)
-        blurred = blur_separable(stacked, D_SIGMA)
-        mu1, mu2 = blurred[0:3], blurred[3:6]
-        s11, s22, s12 = blurred[6:9], blurred[9:12], blurred[12:15]
+    ) * mask0[None]
+
+    def ssim_means_masked(p1, p2, pvh, pvw):
+        mask = _valid_mask(p1.shape[1], p1.shape[2], pvh, pvw)
+        count = (pvh * pvw).astype(jnp.float32)
+        x1 = p1 * mask[None]
+        x2 = p2 * mask[None]
+        n = x1.shape[0]
+        stacked = jnp.concatenate([x1, x2, x1 * x1, x2 * x2, x1 * x2], axis=0)
+        blurred = _blur_window_masked(stacked, pvh, pvw)
+        mu1, mu2 = blurred[:n], blurred[n : 2 * n]
+        s11, s22, s12 = (
+            blurred[2 * n : 3 * n],
+            blurred[3 * n : 4 * n],
+            blurred[4 * n :],
+        )
         mu11, mu22, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
         ssim_map = ((2.0 * mu12 + D_C1) * (2.0 * (s12 - mu12) + D_C2)) / (
             (mu11 + mu22 + D_C1) * ((s11 - mu11) + (s22 - mu22) + D_C2)
         )
-        per_channel = jnp.sum(ssim_map * mask[None], axis=(1, 2)) / count
-        total = total + sweight * jnp.sum(per_channel * cweights) / jnp.sum(cweights)
-        weight_sum += sweight
-    ssim = jnp.clip(total / weight_sum, 1e-6, 1.0)
-    val = _calibrate_scale(1.0 / ssim - 1.0)
+        return jnp.sum(ssim_map * mask[None], axis=(1, 2)) / count
+
+    luma1, luma2 = lab1[:1], lab2[:1]
+    chroma1, _, _ = _downscale_masked(lab1[1:], vh, vw)
+    chroma2, cvh, cvw = _downscale_masked(lab2[1:], vh, vw)
+    total = jnp.asarray(0.0, dtype=lab1.dtype)
+    wsum = 0.0
+    for scale, sweight in enumerate(SCALE_WEIGHTS):
+        if scale:
+            luma1, _, _ = _downscale_masked(luma1, vh, vw)
+            luma2, vh, vw = _downscale_masked(luma2, vh, vw)
+            chroma1, _, _ = _downscale_masked(chroma1, cvh, cvw)
+            chroma2, cvh, cvw = _downscale_masked(chroma2, cvh, cvw)
+        total = total + sweight * ssim_means_masked(luma1, luma2, vh, vw)[0]
+        total = total + sweight * CHROMA_WEIGHT * jnp.sum(
+            ssim_means_masked(chroma1, chroma2, cvh, cvw)
+        )
+        wsum += sweight * (1.0 + 2.0 * CHROMA_WEIGHT)
+    ssim = jnp.clip(total / wsum, 1e-6, 1.0)
+    val = 1.0 / ssim - 1.0
     identical = jnp.all(ref_pad_u8 == dist_pad_u8)
     return jnp.where(identical, jnp.asarray(0.0, val.dtype), val)
 

@@ -20,9 +20,9 @@ graft:
 calibrate-butteraugli:
     python tools/calibrate_butteraugli.py
 
-# Re-fit the DSSIM scale map.
-calibrate-dssim:
-    python tools/calibrate_dssim.py
+# Verify DSSIM behavioral contract (scale anchors, monotonicity, BA slope).
+dssim-check:
+    python tools/dssim_check.py
 
 # Regenerate the public API snapshot (CI: just apidoc-check).
 apidoc:

@@ -41,9 +41,10 @@ def _fixture():
 
 
 GOLDENS = {
-    # (ssimulacra2, dssim, psnr) — pinned 2026-08-16.
-    "mild": (95.8963, 0.0003500, 39.8877),
-    "strong": (82.6862, 0.0023061, 26.6283),
+    # (ssimulacra2, dssim, psnr) — pinned 2026-08-16 (dssim re-pinned after
+    # the round-2 dssim-core-recipe rewrite: raw scale, no power-map).
+    "mild": (95.8963, 0.0026150, 39.8877),
+    "strong": (82.6862, 0.0459400, 26.6283),
 }
 
 
@@ -57,6 +58,9 @@ def test_pinned_metric_values(which):
     ds = float(dssim_u8(jnp.asarray(ref), jnp.asarray(dist)))
     ps = float(psnr(jnp.asarray(ref), jnp.asarray(dist)))
 
-    assert s2 == pytest.approx(s2_gold, abs=0.05)
-    assert ds == pytest.approx(ds_gold, rel=0.02)
-    assert ps == pytest.approx(ps_gold, abs=0.02)
+    # 1e-3-tight pins: a systematic drift the size of the parity budget
+    # (BASELINE.md: "within 1e-3") fails here.  Per-stage tensors are pinned
+    # separately in test_stage_goldens.py.
+    assert s2 == pytest.approx(s2_gold, abs=1e-3)
+    assert ds == pytest.approx(ds_gold, rel=1e-3)
+    assert ps == pytest.approx(ps_gold, abs=1e-3)
