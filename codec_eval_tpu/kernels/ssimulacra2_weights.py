@@ -165,6 +165,25 @@ WEIGHTS_V21 = np.array([
 
 assert WEIGHTS_V21.shape == (108,)
 
+#: Enumerated provenance of every approximate entry (index into WEIGHTS_V21,
+#: feature it scales, measured score sensitivity).  All other nonzero entries
+#: are believed faithful to the published v2.1 table; all zero entries are
+#: structural (the published table zeroes most features).  Sensitivity is the
+#: measured max |d score| for a +10% weight perturbation over JPEG q75/q90
+#: pairs on 4 synthetic bases at 256px (tools/weight_sensitivity.py) — the
+#: parity error each approximation can plausibly contribute scales linearly
+#: with its relative error (e.g. a 2x-wrong w[57] shifts scores ~0.08 pts).
+APPROX_ENTRIES = (
+    # (index, "channel scale norm map", measured |dscore| @ +10%)
+    (27, "X s4 4-norm ssim", "3e-6"),
+    (54, "Y s3 1-norm ssim", "2e-6"),
+    (57, "Y s3 4-norm ssim", "7.9e-3 (largest)"),
+    (63, "Y s4 4-norm ssim", "4.9e-4"),
+    (84, "B s2 1-norm ssim", "2.4e-5"),
+    (93, "B s3 4-norm ssim", "7.7e-3"),
+    (103, "B s5 1-norm artifact", "1e-6"),
+)
+
 # Final nonlinear mapping constants of the public v2.1 scorer:
 #   s   = SCALE_FACTOR * sum_i w_i * |f_i|
 #   v   = CUBIC_A*s^3 + CUBIC_B*s^2 + CUBIC_C*s
