@@ -12,10 +12,14 @@ parameters (public constants; see jxl ``cms/opsin_params.h``).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 # Opsin absorbance matrix (rows: L, M, S cone-ish responses).
 # reference: src/metrics/xyb.rs:34-44
-OPSIN_ABSORBANCE_MATRIX = jnp.array(
+# NOTE: module-level constants are numpy on purpose — jnp.array at import
+# time would initialize the XLA backend, breaking jax.distributed users who
+# import this package before initialize() (tests/test_multihost_integration).
+OPSIN_ABSORBANCE_MATRIX = np.array(
     [
         [0.30, 0.622, 0.078],
         [0.23, 0.692, 0.078],
@@ -25,13 +29,13 @@ OPSIN_ABSORBANCE_MATRIX = jnp.array(
 )
 
 # reference: src/metrics/xyb.rs:46
-OPSIN_ABSORBANCE_BIAS = jnp.float32(0.0037930732552754493)
+OPSIN_ABSORBANCE_BIAS = np.float32(0.0037930732552754493)
 
 # -cbrt(bias); reference: src/metrics/xyb.rs:48-52
-NEG_OPSIN_ABSORBANCE_BIAS_CBRT = jnp.float32(-0.15595412)
+NEG_OPSIN_ABSORBANCE_BIAS_CBRT = np.float32(-0.15595412)
 
 # Inverse of the opsin matrix; reference: src/metrics/xyb.rs:54-57
-INV_OPSIN_MATRIX = jnp.array(
+INV_OPSIN_MATRIX = np.array(
     [
         [11.031566901960783, -9.866943921568629, -0.16462299647058826],
         [-3.254147380392157, 4.418770392156863, -0.16462299647058826],
@@ -42,7 +46,7 @@ INV_OPSIN_MATRIX = jnp.array(
 
 # Empirical XYB channel ranges over all sRGB u8 inputs, slightly padded.
 # reference: src/metrics/xyb.rs:185-190
-XYB_RANGES = jnp.array(
+XYB_RANGES = np.array(
     [[-0.016, 0.029], [0.0, 0.846], [0.0, 0.846]], dtype=jnp.float32
 )
 
