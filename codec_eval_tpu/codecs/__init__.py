@@ -11,6 +11,7 @@ from .pil_codecs import (
     jpegli_stub,
     jpegxl_stub,
 )
+from .jxl import JpegXlCodec
 from .registry import CodecRegistry, CompareConfig, FormatSelection
 from .report import (
     CodecStats,
@@ -35,6 +36,7 @@ __all__ = [
     "WebPCodec",
     "jpegli_stub",
     "jpegxl_stub",
+    "JpegXlCodec",
     "CodecRegistry",
     "CompareConfig",
     "FormatSelection",

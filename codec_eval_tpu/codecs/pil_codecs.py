@@ -160,17 +160,57 @@ class WebPCodec(_PilCodec):
 
 
 class AvifCodec(_PilCodec):
-    """libavif/aom.  Speed/subsampling presets stand in for the reference's
-    rav1e tuning presets (crates/codec-iter/src/avif_config.rs:33-68)."""
+    """libavif/aom with codec-specific tuning, mirroring the reference's
+    rav1e preset ladder (crates/codec-iter/src/avif_config.rs:33-68).
+
+    The ``advanced`` dict is passed to aom via libavif's codec-specific
+    options (the analog of rav1e's qm/cdef/rdo knobs).  Empirically
+    effective through this path: ``enable-qm`` + ``qm-min``/``qm-max``
+    (quantization matrices — the reference's headline ``qm`` preset),
+    ``sharpness``, and ``tune`` (default ssim; psnr selectable); cdef and
+    loop-restoration toggles are accepted but are no-ops in still-picture
+    mode (verified by output hashing).
+
+    Measured preset tradeoffs (tools/avif_ladder_bench.py: 6 synthetic
+    512px images x q=35..85, SSIMULACRA2 BD-rate vs `baseline`, encode-time
+    ratio; negative = smaller files at equal quality; 2026-08-16 run):
+
+    ========== =========== ======
+    preset     BD-rate(s2) time x
+    ========== =========== ======
+    fast           +47.6%   0.32
+    slow           -18.0%   3.76
+    444            -55.3%   1.18
+    qm              +3.2%   1.06
+    qm-full         +6.3%   0.95
+    qm-444         -52.6%   1.00
+    qm-sharp        +2.9%   0.74
+    qm-slow        -15.4%   5.94
+    tune-psnr       -0.3%   1.64
+    ========== =========== ======
+
+    Caveats: synthetic content has saturated high-frequency chroma, which
+    exaggerates the 4:4:4 win and penalizes quantization matrices (the
+    reference reports qm ~ -10% BD-rate for rav1e on CID22 photographs,
+    avif_config.rs:3-7); re-run the tool on a photographic corpus before
+    quoting these for production ladders.
+    """
 
     _pil_format = "AVIF"
     _format_ext = "avif"
     _feature = "avif"
 
-    def __init__(self, speed: int = 6, subsampling: str = "4:2:0", label: str = ""):
+    def __init__(
+        self,
+        speed: int = 6,
+        subsampling: str = "4:2:0",
+        label: str = "",
+        advanced: Optional[dict] = None,
+    ):
         self.speed = speed
         self.subsampling = subsampling
         self.label = label
+        self.advanced = dict(advanced) if advanced else None
 
     def id(self) -> str:
         if self.label:
@@ -178,20 +218,39 @@ class AvifCodec(_PilCodec):
         return f"avif-aom-s{self.speed}"
 
     def _save_kwargs(self, request: EncodeRequest) -> dict:
-        return {
+        kwargs = {
             "quality": int(round(request.quality)),
             "speed": self.speed,
             "subsampling": self.subsampling,
         }
+        if self.advanced:
+            kwargs["advanced"] = self.advanced
+        return kwargs
 
     @classmethod
     def presets(cls) -> List["AvifCodec"]:
-        """Named preset ladder (speed/efficiency tradeoff points)."""
+        """Named preset ladder; BD-rate (SSIMULACRA2) / time vs `baseline`
+        measured by tools/avif_ladder_bench.py (2026-08-16 run, see tool)."""
+        qm = {"enable-qm": "1"}
         return [
-            cls(speed=6, label="baseline"),  # ~default effort
-            cls(speed=4, label="slow"),  # better BD-rate, ~3x time
+            cls(speed=6, label="baseline"),  # reference point
             cls(speed=8, label="fast"),  # iteration speed
+            cls(speed=4, label="slow"),  # more RDO effort
             cls(speed=6, subsampling="4:4:4", label="444"),
+            cls(speed=6, label="qm", advanced=qm),
+            cls(
+                speed=6,
+                label="qm-full",
+                advanced={"enable-qm": "1", "qm-min": "0", "qm-max": "8"},
+            ),
+            cls(speed=6, subsampling="4:4:4", label="qm-444", advanced=qm),
+            cls(
+                speed=6,
+                label="qm-sharp",
+                advanced={"enable-qm": "1", "sharpness": "2"},
+            ),
+            cls(speed=4, label="qm-slow", advanced=qm),
+            cls(speed=6, label="tune-psnr", advanced={"tune": "psnr"}),
         ]
 
 
@@ -240,8 +299,10 @@ class UnavailableCodec(CodecImpl):
 
 
 def jpegxl_stub() -> UnavailableCodec:
+    """Fallback when libjxl is absent; the real adapter is codecs/jxl.py
+    (ctypes over the system libjxl, encode + decode)."""
     return UnavailableCodec(
-        "jpegxl", "jxl", "no JPEG XL encoder bindings in this environment"
+        "jpegxl", "jxl", "libjxl shared library not found on this system"
     )
 
 

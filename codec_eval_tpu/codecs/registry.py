@@ -136,7 +136,11 @@ class CodecRegistry:
                 codec.speed = codec.speed if codec.label != "baseline" else self.config.avif_speed
                 count += self.register_codec(codec)
         if f.jpegxl:
-            count += self.register_codec(jpegxl_stub())
+            from .jxl import JpegXlCodec, is_available as _jxl_available
+
+            count += self.register_codec(
+                JpegXlCodec() if _jxl_available() else jpegxl_stub()
+            )
         return count
 
     def codec_ids(self) -> List[str]:

@@ -145,8 +145,9 @@ class Corpus:
 
     @classmethod
     def get_dataset(cls, name: str) -> "Corpus":
-        """Resolve a named dataset from the local cache.
-        reference: src/corpus/mod.rs:157-167 (download+cache by name)."""
+        """Resolve a named dataset: cache hit, else fetch from the mirror.
+        reference: src/corpus/mod.rs:157-167 (download+cache by name; the
+        codec-corpus crate behavior, implemented in corpus/download.py)."""
         key = name.lower()
         if key not in cls.DATASETS:
             raise CorpusError(
@@ -154,11 +155,16 @@ class Corpus:
             )
         path = cls.dataset_cache_root() / cls.DATASETS[key]
         if not path.exists():
-            raise CorpusError(
-                f"Dataset '{name}' not cached at {path}. Populate the cache "
-                f"(set CODEC_CORPUS_DIR or place images there) — this "
-                f"environment has no network access for downloads."
-            )
+            from .download import fetch_dataset, mirror_base
+
+            if mirror_base() is None:
+                raise CorpusError(
+                    f"Dataset '{name}' not cached at {path} and no mirror "
+                    f"is configured. Set CODEC_CORPUS_MIRROR (https:// or "
+                    f"file:// base URL of the dataset archives), or set "
+                    f"CODEC_CORPUS_DIR / place images there manually."
+                )
+            fetch_dataset(key, path)
         corpus = cls.discover(path)
         corpus.name = name
         return corpus
