@@ -13,13 +13,26 @@ scorer is ~25 ms/pair at 512px => ~61 ms at 800px => ~16 img/s CPU, ~65
 img/s with CUDA.  vs_baseline is measured against the 65 img/s accelerator
 figure.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+A second scenario (``--scenario sweep``, also folded into the default run's
+"sweep" field) measures BASELINE.md's flagship target directly: the dense
+25-point x 4-codec sweep at 512px with REAL codec artifacts (PIL mozjpeg-
+style 420/444/progressive JPEG + WebP), reporting all-metric and
+SSIMULACRA2-only scored pairs/s/chip, the projected v5e-8 wall time for the
+CID22 dense sweep (209 images x 100 pairs), an end-to-end rate with host
+encode/decode overlapped with device scoring, and an achieved-FLOPs estimate
+from XLA cost analysis.  vs_baseline for the sweep is measured against the
+~1,300 pairs/s/chip needed to score CID22 in <2 s on 8 chips.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
+import argparse
+import io
 import json
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -42,11 +55,176 @@ def _photo(h, w, seed):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
+SWEEP_SIZE = 512
+SWEEP_IMAGES = 4
+SWEEP_QUALITIES = tuple(range(50, 99, 2))  # dense preset: 25 points
+SWEEP_TARGET_PAIRS_PER_SEC = 1300.0  # CID22 dense sweep <2 s on v5e-8
+CID22_IMAGES = 209
+
+
+def _sweep_codecs():
+    """The 4-codec ladder of the flagship scenario, as PIL encode/decode
+    callbacks (the reference's mozjpeg 420/444/prog + webp analog)."""
+    from PIL import Image
+
+    def roundtrip(img, fmt, **kw):
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, fmt, **kw)
+        return np.array(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+
+    return {
+        "jpeg-420": lambda img, q: roundtrip(
+            img, "JPEG", quality=q, subsampling=2
+        ),
+        "jpeg-444": lambda img, q: roundtrip(
+            img, "JPEG", quality=q, subsampling=0
+        ),
+        "jpeg-420-prog": lambda img, q: roundtrip(
+            img, "JPEG", quality=q, subsampling=2, progressive=True
+        ),
+        "webp": lambda img, q: roundtrip(img, "WEBP", quality=q),
+    }
+
+
+def run_sweep_scenario(jax, jnp) -> dict:
+    """BASELINE.md flagship: dense 25-pt x 4-codec all-metric sweep at 512px."""
+    from codec_eval_tpu.engine.scoring import _build_scorer
+
+    refs = [_photo(SWEEP_SIZE, SWEEP_SIZE, 100 + i) for i in range(SWEEP_IMAGES)]
+    codecs = _sweep_codecs()
+    n_cand = len(codecs) * len(SWEEP_QUALITIES)
+
+    def encode_image(ref):
+        return np.stack(
+            [fn(ref, q) for fn in codecs.values() for q in SWEEP_QUALITIES]
+        )
+
+    # Host codec pass (untimed here; measured separately in the e2e phase).
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        cand_batches = list(pool.map(encode_image, refs))
+
+    # One chunk per codec (25 candidates): the all-metric fused program at
+    # batch=100 exceeds TPU scalar memory (smem), and per-codec chunks are
+    # the natural sweep batching anyway.
+    chunk = len(SWEEP_QUALITIES)
+    scorer_all = _build_scorer(
+        SWEEP_SIZE, SWEEP_SIZE, chunk, True, True, True, True, False
+    )
+    scorer_s2 = _build_scorer(
+        SWEEP_SIZE, SWEEP_SIZE, chunk, False, True, False, False, False
+    )
+    refs_dev = [jnp.asarray(r) for r in refs]
+    chunks = [
+        [batch[c * chunk : (c + 1) * chunk] for c in range(len(codecs))]
+        for batch in cand_batches
+    ]
+
+    def timed_pairs_per_sec(scorer, reps=3):
+        # Warmup/compile.
+        jax.block_until_ready(scorer(refs_dev[0], jnp.asarray(chunks[0][0])))
+        best = float("inf")
+        for rep in range(reps):
+            # Perturb one byte per chunk in place so repetitions are distinct
+            # inputs — the remote runtime memoizes identical (executable,
+            # input) executions, which would inflate throughput.
+            for per_img in chunks:
+                for c in per_img:
+                    c[0, rep, 0, 0] ^= 1
+            t0 = time.perf_counter()
+            outs = [
+                scorer(refs_dev[i], jnp.asarray(c))
+                for i in range(SWEEP_IMAGES)
+                for c in chunks[i]
+            ]  # async dispatch: host staging of chunk k+1 overlaps compute of k
+            jax.block_until_ready(outs)
+            best = min(best, time.perf_counter() - t0)
+        return SWEEP_IMAGES * n_cand / best
+
+    all_pps = timed_pairs_per_sec(scorer_all)
+    s2_pps = timed_pairs_per_sec(scorer_s2)
+
+    # End-to-end: host encode/decode overlapped with device scoring via a
+    # producer pool + async dispatch (SURVEY.md §7 hard part #2).
+    def e2e_once():
+        t0 = time.perf_counter()
+        outs = []
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            futures = [pool.submit(encode_image, r) for r in refs]
+            for i, fut in enumerate(futures):
+                batch = fut.result()
+                for c in range(len(codecs)):
+                    outs.append(
+                        scorer_all(
+                            refs_dev[i],
+                            jnp.asarray(batch[c * chunk : (c + 1) * chunk]),
+                        )
+                    )
+        jax.block_until_ready(outs)
+        return SWEEP_IMAGES * n_cand / (time.perf_counter() - t0)
+
+    e2e_pps = max(e2e_once() for _ in range(2))
+
+    # Achieved FLOPs from XLA cost analysis (unavailable on some remote
+    # backends -> None).  MFU is quoted against v5e bf16 peak (197 TFLOP/s);
+    # the HIGHEST-precision blur matmuls run 6-pass bf16, so the f32-
+    # equivalent ceiling is ~1/6 of that.
+    flops = None
+    try:
+        lowered = scorer_all.lower(refs_dev[0], jnp.asarray(chunks[0][0]))
+        analysis = lowered.compile().cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        flops = float(analysis.get("flops", 0.0)) or None
+    except Exception:
+        pass
+    achieved_tflops = (
+        round(flops * all_pps / chunk / 1e12, 2) if flops else None
+    )
+
+    cid22_v5e8_s = CID22_IMAGES * 100 / (all_pps * 8)
+    return {
+        "allmetric_pairs_per_sec": round(all_pps, 1),
+        "ssim2_only_pairs_per_sec": round(s2_pps, 1),
+        "e2e_overlapped_pairs_per_sec": round(e2e_pps, 1),
+        "cid22_dense_sweep_v5e8_seconds_allmetric": round(cid22_v5e8_s, 2),
+        "achieved_tflops": achieved_tflops,
+        "mfu_vs_bf16_peak": (
+            round(achieved_tflops / 197.0, 4) if achieved_tflops else None
+        ),
+        "vs_target_1300": round(all_pps / SWEEP_TARGET_PAIRS_PER_SEC, 3),
+    }
+
+
 def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--scenario",
+        choices=["all", "precompute", "sweep"],
+        default="all",
+        help="'precompute' = north-star 800px throughput; 'sweep' = dense "
+        "25pt x 4-codec 512px flagship; 'all' = both (default)",
+    )
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    if args.scenario == "sweep":
+        sweep = run_sweep_scenario(jax, jnp)
+        print(
+            json.dumps(
+                {
+                    "metric": "allmetric_sweep_pairs_per_sec_512px",
+                    "value": sweep["allmetric_pairs_per_sec"],
+                    "unit": "pairs/s/chip",
+                    "vs_baseline": sweep["vs_target_1300"],
+                    **{k: v for k, v in sweep.items() if k != "allmetric_pairs_per_sec"},
+                }
+            )
+        )
+        return
 
     from codec_eval_tpu.kernels.ssimulacra2 import (
         features_against_reference,
@@ -124,16 +302,15 @@ def main() -> None:
                 times.append(time.perf_counter() - t0)
 
     images_per_sec = SWEEP / min(times)
-    print(
-        json.dumps(
-            {
-                "metric": "ssimulacra2_images_per_sec_800px",
-                "value": round(images_per_sec, 2),
-                "unit": "img/s/chip",
-                "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
-            }
-        )
-    )
+    record = {
+        "metric": "ssimulacra2_images_per_sec_800px",
+        "value": round(images_per_sec, 2),
+        "unit": "img/s/chip",
+        "vs_baseline": round(images_per_sec / BASELINE_IMAGES_PER_SEC, 3),
+    }
+    if args.scenario == "all":
+        record["sweep"] = run_sweep_scenario(jax, jnp)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":
