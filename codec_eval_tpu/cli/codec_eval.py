@@ -145,6 +145,8 @@ def cmd_sparse(args) -> int:
         sc.disable()
     elif cmd == "fetch":
         sc.fetch()
+    elif cmd == "pull":
+        sc.pull()
     else:
         raise ValueError(cmd)
     return 0
@@ -251,7 +253,7 @@ def main(argv=None) -> int:
         p = sparse_sub.add_parser(name)
         p.add_argument("repo", type=Path)
         p.add_argument("patterns", nargs="+")
-    for name in ("status", "list", "disable", "fetch"):
+    for name in ("status", "list", "disable", "fetch", "pull"):
         p = sparse_sub.add_parser(name)
         p.add_argument("repo", type=Path)
     p_sparse.set_defaults(fn=cmd_sparse)

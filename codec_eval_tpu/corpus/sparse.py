@@ -154,9 +154,24 @@ class SparseCheckout:
     # -- pattern management ------------------------------------------------
     def add_paths(self, paths: Sequence[str]) -> None:
         _run_git(self.repo_path, ["sparse-checkout", "add", *paths])
+        self._materialize_if_unborn()
 
     def set_paths(self, paths: Sequence[str]) -> None:
         _run_git(self.repo_path, ["sparse-checkout", "set", *paths])
+        self._materialize_if_unborn()
+
+    def _materialize_if_unborn(self) -> None:
+        """After a ``--no-checkout`` sparse clone the index is empty, so
+        ``sparse-checkout set`` alone materializes nothing; run the first
+        checkout once patterns exist (reference clones then check out:
+        src/corpus/sparse.rs:91-182)."""
+        if _run_git(self.repo_path, ["ls-files"]).strip():
+            return
+        try:
+            _run_git(self.repo_path, ["rev-parse", "--verify", "HEAD"])
+        except CorpusError:
+            return  # unborn branch: nothing to check out yet
+        self.checkout()
 
     def add_filter(self, filter_: SparseFilter) -> None:
         self.add_paths(filter_.to_patterns())
@@ -194,8 +209,12 @@ class SparseCheckout:
             config = ""
         enabled = config.strip() == "true"
         patterns = self.list_patterns() if enabled else []
-        files = _run_git(self.repo_path, ["ls-files"])
-        checked_out = len(files.splitlines())
+        # `ls-files -t` distinguishes materialized entries (H) from
+        # skip-worktree ones (S); plain `ls-files` counts both.
+        files = _run_git(self.repo_path, ["ls-files", "-t"])
+        checked_out = sum(
+            1 for line in files.splitlines() if line.startswith("H ")
+        )
         try:
             tree = _run_git(self.repo_path, ["ls-tree", "-r", "--name-only", "HEAD"])
             total = len(tree.splitlines())

@@ -170,3 +170,123 @@ def test_codec_compare_csv_matches_direct_kernel(corpus, tmp_path):
     assert float(row["ssimulacra2"]) == pytest.approx(want_s2, abs=5.1e-3)
     want_bpp = len(buf.getvalue()) * 8.0 / (48 * 48)
     assert float(row["bpp"]) == pytest.approx(want_bpp, abs=1e-4)
+
+
+def test_codec_compare_single_and_report_values(corpus, tmp_path, capsys):
+    """`single` prints per-quality metric rows; `report` regenerates stats
+    from the saved corpus JSON with consistent BD-rate columns."""
+    out = tmp_path / "reports"
+    assert (
+        compare_main(
+            ["single", str(corpus / "im0.png"), "--formats", "jpeg",
+             "--qualities", "60,90", "--fast-metrics", "--output", str(out)]
+        )
+        == 0
+    )
+    single_out = capsys.readouterr().out
+    rows = re.findall(
+        r"^(jpeg-\S+)\s+(\d+)\s+([\d.]+)\s+([\d.]+)\s+", single_out, re.M
+    )
+    assert len(rows) == 8, single_out  # 4 jpeg variants x 2 qualities
+    by_codec = {}
+    for codec, q, bpp, s2 in rows:
+        by_codec.setdefault(codec, {})[int(q)] = (float(bpp), float(s2))
+    for codec, pts in by_codec.items():
+        # Higher quality must not reduce either bpp or ssim2 on this corpus.
+        assert pts[90][0] > pts[60][0], (codec, pts)
+        assert pts[90][1] > pts[60][1], (codec, pts)
+    # The printed values match the written JSON report exactly.
+    data = json.loads((out / "im0.json").read_text())
+    want = {
+        (r["codec_id"], int(r["quality"])): r["metrics"]["ssimulacra2"]
+        for r in data["results"]
+    }
+    for codec, q, _, s2 in rows:
+        # Printed at 2 decimals: up to 5e-3 rounding on top of the JSON value.
+        assert float(s2) == pytest.approx(want[(codec, int(q))], abs=5.1e-3)
+
+    # `report` on a saved corpus JSON: stats table prints one row per codec
+    # with the bpp means recomputable from the JSON.
+    run_out = tmp_path / "run_reports"
+    assert (
+        compare_main(
+            ["run", str(corpus), "--formats", "jpeg", "--qualities", "60,90",
+             "--fast-metrics", "--output", str(run_out), "--name", "rpt"]
+        )
+        == 0
+    )
+    capsys.readouterr()
+    regen = tmp_path / "regen"
+    assert (
+        compare_main(
+            ["report", str(run_out / "rpt.json"), "--output", str(regen)]
+        )
+        == 0
+    )
+    report_out = capsys.readouterr().out
+    stats = json.loads((regen / "stats.json").read_text())
+    corpus_json = json.loads((run_out / "rpt.json").read_text())
+    bpps = {}
+    for img in corpus_json["images"]:
+        for r in img["results"]:
+            bpps.setdefault(r["codec_id"], []).append(r["bits_per_pixel"])
+    for codec_stats in stats["codecs"]:
+        cid = codec_stats["codec_id"]
+        want_avg = sum(bpps[cid]) / len(bpps[cid])
+        assert codec_stats["avg_bpp"] == pytest.approx(want_avg, rel=1e-6)
+        assert re.search(rf"{re.escape(cid)}\s", report_out)
+    assert (regen / "pareto.svg").exists()
+
+
+def test_sparse_clone_set_fetch_cli(tmp_path, capsys, monkeypatch):
+    """`sparse clone/set/status/fetch` against a real local git origin,
+    asserting the printed file counts track the sparse patterns."""
+    import subprocess
+
+    origin = tmp_path / "origin"
+    origin.mkdir()
+    env = {
+        "GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+        "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+        "HOME": str(tmp_path), "PATH": "/usr/bin:/bin:/usr/local/bin",
+    }
+
+    def git(cwd, *args):
+        subprocess.run(
+            ["git", *args], cwd=cwd, check=True, capture_output=True, env=env
+        )
+
+    git(origin, "init", "-q", "-b", "main")
+    (origin / "photo").mkdir()
+    (origin / "photo" / "a.png").write_bytes(b"a")
+    (origin / "photo" / "b.png").write_bytes(b"b")
+    (origin / "art").mkdir()
+    (origin / "art" / "c.png").write_bytes(b"c")
+    git(origin, "add", "-A")
+    git(origin, "commit", "-q", "-m", "init")
+
+    target = tmp_path / "clone"
+    assert eval_main(["sparse", "clone", f"file://{origin}", str(target)]) == 0
+    assert "cloned" in capsys.readouterr().out
+
+    assert eval_main(["sparse", "set", str(target), "photo"]) == 0
+    capsys.readouterr()
+    assert eval_main(["sparse", "status", str(target)]) == 0
+    status_out = capsys.readouterr().out
+    m = re.search(r"enabled: True; files: (\d+)/(\d+)", status_out)
+    assert m, status_out
+    checked_out, total = int(m.group(1)), int(m.group(2))
+    assert checked_out == 2 and total == 3  # photo/ only, of 3 tracked files
+
+    # New commit upstream; fetch + pull must surface it in the counts.
+    (origin / "photo" / "d.png").write_bytes(b"d")
+    git(origin, "add", "-A")
+    git(origin, "commit", "-q", "-m", "more")
+    assert eval_main(["sparse", "fetch", str(target)]) == 0
+    assert eval_main(["sparse", "pull", str(target)]) == 0
+    capsys.readouterr()
+    assert eval_main(["sparse", "status", str(target)]) == 0
+    status_out = capsys.readouterr().out
+    m = re.search(r"enabled: True; files: (\d+)/(\d+)", status_out)
+    assert m, status_out
+    assert int(m.group(1)) == 3 and int(m.group(2)) == 4
