@@ -31,7 +31,7 @@ from ..kernels.dssim import (
     precompute_dssim_reference as _dssim_precompute,
 )
 from ..kernels.butteraugli import (
-    butteraugli_against_reference as _butteraugli_against,
+    butteraugli_batch as _butteraugli_batch,
     precompute_butteraugli_reference as _butteraugli_precompute,
 )
 from ..kernels.ssimulacra2 import ssimulacra2_batch as _ssimulacra2_batch
@@ -79,12 +79,9 @@ def _build_scorer(
             out["ssimulacra2"] = _ssimulacra2_batch(ref_u8, batch_u8)
         if butteraugli:
             bref = _butteraugli_precompute(ref_u8)
-
-            def one_ba(d):
-                val = _butteraugli_against(bref, d)
-                return jnp.where(jnp.all(ref_u8 == d), jnp.zeros_like(val), val)
-
-            out["butteraugli"] = jax.vmap(one_ba)(batch_u8)
+            vals = _butteraugli_batch(bref, batch_u8)
+            identical = jax.vmap(lambda d: jnp.all(ref_u8 == d))(batch_u8)
+            out["butteraugli"] = jnp.where(identical, 0.0, vals)
         return out
 
     return jax.jit(score)

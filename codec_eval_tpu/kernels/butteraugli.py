@@ -400,16 +400,16 @@ def _malta_sweep(diffs: jnp.ndarray, lines) -> jnp.ndarray:
     return acc
 
 
-def _malta_diff_map(
+def _malta_prologue(
     lum0: jnp.ndarray,
     lum1: jnp.ndarray,
     w_0gt1: jnp.ndarray,
     w_0lt1: jnp.ndarray,
     norm1: float,
     mulli: float,
-    lines,
     mask2d: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
+    """The per-pixel asymmetric diff plane the directional sweep consumes."""
     w_pre0gt1 = mulli * jnp.sqrt(_MALTA_W0 * w_0gt1) / (_MALTA_LEN * 2 + 1)
     w_pre0lt1 = mulli * jnp.sqrt(_MALTA_W1 * w_0lt1) / (_MALTA_LEN * 2 + 1)
     norm2_0gt1 = w_pre0gt1 * norm1
@@ -435,7 +435,89 @@ def _malta_diff_map(
     diffs = diffs + jnp.where(lum0 >= 0, impact_pos, impact_neg)
     if mask2d is not None:
         diffs = diffs * mask2d
+    return diffs
+
+
+def _malta_diff_map(
+    lum0: jnp.ndarray,
+    lum1: jnp.ndarray,
+    w_0gt1: jnp.ndarray,
+    w_0lt1: jnp.ndarray,
+    norm1: float,
+    mulli: float,
+    lines,
+    mask2d: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    diffs = _malta_prologue(lum0, lum1, w_0gt1, w_0lt1, norm1, mulli, mask2d)
     return _malta_sweep(diffs, lines)
+
+
+# Channel order of the stacked Malta diff planes (and which accumulator
+# each band feeds): matches the call sequence in _diffmap_psycho.
+_MALTA_CALLS = (
+    # (band, channel, dest_ac, asym_kind, weight, norm1, mulli, pattern)
+    ("uhf", 1, 1, "a", _W_UHF_MALTA, _NORM1_UHF, _MALTA_MULLI, "full"),
+    ("uhf", 0, 0, "a", _W_UHF_MALTA_X, _NORM1_UHF_X, _MALTA_MULLI, "full"),
+    ("hf", 1, 1, "sqrt_a", _W_HF_MALTA, _NORM1_HF, _MALTA_MULLI_LF, "lf"),
+    ("hf", 0, 0, "sqrt_a", _W_HF_MALTA_X, _NORM1_HF_X, _MALTA_MULLI_LF, "lf"),
+    ("mf", 1, 1, "none", _W_MF_MALTA, _NORM1_MF, _MALTA_MULLI_LF, "lf"),
+    ("mf", 0, 0, "none", _W_MF_MALTA_X, _NORM1_MF_X, _MALTA_MULLI_LF, "lf"),
+)
+
+#: Malta sweep implementation: "auto" (Pallas on TPU, XLA elsewhere),
+#: or force "pallas" / "xla" for A/B testing.
+MALTA_IMPL = __import__("os").environ.get("CODEC_EVAL_MALTA_IMPL", "auto")
+
+
+def _malta_diffs_stack(pi0, pi1, hf_asymmetry) -> jnp.ndarray:
+    """The six asymmetric diff planes, stacked (6, H, W)."""
+    a = jnp.float32(hf_asymmetry)
+    sqrt_a = jnp.sqrt(a)
+    planes = []
+    for band, ch, _dest, kind, wbase, norm1, mulli, _pat in _MALTA_CALLS:
+        l0 = getattr(pi0, band)[ch]
+        l1 = getattr(pi1, band)[ch]
+        if kind == "a":
+            wg, wl = wbase * a, wbase / a
+        elif kind == "sqrt_a":
+            wg, wl = wbase * sqrt_a, wbase / sqrt_a
+        else:
+            wg = wl = jnp.float32(wbase)
+        planes.append(_malta_prologue(l0, l1, wg, wl, norm1, mulli))
+    return jnp.stack(planes, axis=0)
+
+
+def _malta_ac_stack_xla(stack: jnp.ndarray) -> jnp.ndarray:
+    """(6, H, W) diff planes -> (2, H, W) (ac0, ac1) via the XLA sweeps."""
+    acc = [None, None]
+    for i, (_b, _c, dest, _k, _w, _n, _m, pat) in enumerate(_MALTA_CALLS):
+        lines = _MALTA_LINES_FULL if pat == "full" else _MALTA_LINES_LF
+        term = _malta_sweep(stack[i], lines)
+        acc[dest] = term if acc[dest] is None else acc[dest] + term
+    return jnp.stack(acc, axis=0)
+
+
+def _malta_ac_batch(stack_b: jnp.ndarray) -> jnp.ndarray:
+    """(B, 6, H, W) -> (B, 2, H, W), Pallas on TPU / XLA elsewhere.
+
+    In the large fused scoring program XLA stops fusing the sweeps and
+    materializes hundreds of (B, H, W) intermediates (52 of 64 ms at
+    512px/batch 25); the Pallas kernel reads each slab once per row tile.
+    """
+    impl = MALTA_IMPL
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if jax.default_backend() in ("tpu", "axon")
+            else "xla"
+        )
+    if impl == "pallas":
+        from .pallas.malta import malta_ac_batch_pallas
+
+        return malta_ac_batch_pallas(
+            stack_b, _MALTA_LINES_FULL, _MALTA_LINES_LF
+        )
+    return jax.vmap(_malta_ac_stack_xla)(stack_b)
 
 
 # ---------------------------------------------------------------------------
@@ -510,6 +592,42 @@ def _mask_dc_y(d: jnp.ndarray) -> jnp.ndarray:
     return retval * retval
 
 
+def _mask_reference_side(
+    pi0: PsychoImage,
+    mask2d: Optional[jnp.ndarray] = None,
+    mrow: Optional[jnp.ndarray] = None,
+    mcol: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Candidate-independent masking pieces: (b0, mask).
+
+    The psychovisual mask (and hence the MaskY / MaskDcY response maps) is
+    derived from the *reference* image only, so sweeps precompute it once
+    and reuse it across every candidate.
+    """
+    d0 = _diff_precompute(_combine_channels_for_masking(pi0))
+    if mask2d is None:
+        b0 = _blur(d0, SIGMA_MASK)
+    else:
+        b0 = _blur_masked(d0 * mask2d, SIGMA_MASK, mrow, mcol)
+    return b0, _fuzzy_erosion(b0, mask2d)
+
+
+def _mask_candidate_side(
+    b0: jnp.ndarray,
+    pi1: PsychoImage,
+    mask2d: Optional[jnp.ndarray] = None,
+    mrow: Optional[jnp.ndarray] = None,
+    mcol: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """The per-candidate masking piece: the Y-channel diff_ac term."""
+    d1 = _diff_precompute(_combine_channels_for_masking(pi1))
+    if mask2d is None:
+        b1 = _blur(d1, SIGMA_MASK)
+    else:
+        b1 = _blur_masked(d1 * mask2d, SIGMA_MASK, mrow, mcol)
+    return _MASK_DIFF_AC_MUL * (b0 - b1) * (b0 - b1)
+
+
 def _mask_psycho_image(
     pi0: PsychoImage,
     pi1: PsychoImage,
@@ -518,18 +636,8 @@ def _mask_psycho_image(
     mcol: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (mask, diff_ac contribution for the Y channel)."""
-    m0 = _combine_channels_for_masking(pi0)
-    m1 = _combine_channels_for_masking(pi1)
-    d0 = _diff_precompute(m0)
-    d1 = _diff_precompute(m1)
-    if mask2d is None:
-        b0 = _blur(d0, SIGMA_MASK)
-        b1 = _blur(d1, SIGMA_MASK)
-    else:
-        b0 = _blur_masked(d0 * mask2d, SIGMA_MASK, mrow, mcol)
-        b1 = _blur_masked(d1 * mask2d, SIGMA_MASK, mrow, mcol)
-    mask = _fuzzy_erosion(b0, mask2d)
-    diff_ac = _MASK_DIFF_AC_MUL * (b0 - b1) * (b0 - b1)
+    b0, mask = _mask_reference_side(pi0, mask2d, mrow, mcol)
+    diff_ac = _mask_candidate_side(b0, pi1, mask2d, mrow, mcol)
     return mask, diff_ac
 
 
@@ -546,35 +654,41 @@ def _diffmap_psycho(
     mask2d: Optional[jnp.ndarray] = None,
     mrow: Optional[jnp.ndarray] = None,
     mcol: Optional[jnp.ndarray] = None,
+    malta_ac: Optional[jnp.ndarray] = None,
+    mask_pre: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
 ) -> jnp.ndarray:
     a = jnp.float32(hf_asymmetry)
     sqrt_a = jnp.sqrt(a)
     m2 = mask2d
 
-    ac1 = _malta_diff_map(
-        pi0.uhf[1], pi1.uhf[1], _W_UHF_MALTA * a, _W_UHF_MALTA / a,
-        _NORM1_UHF, _MALTA_MULLI, _MALTA_LINES_FULL, m2,
-    )
-    ac0 = _malta_diff_map(
-        pi0.uhf[0], pi1.uhf[0], _W_UHF_MALTA_X * a, _W_UHF_MALTA_X / a,
-        _NORM1_UHF_X, _MALTA_MULLI, _MALTA_LINES_FULL, m2,
-    )
-    ac1 = ac1 + _malta_diff_map(
-        pi0.hf[1], pi1.hf[1], _W_HF_MALTA * sqrt_a, _W_HF_MALTA / sqrt_a,
-        _NORM1_HF, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
-    )
-    ac0 = ac0 + _malta_diff_map(
-        pi0.hf[0], pi1.hf[0], _W_HF_MALTA_X * sqrt_a, _W_HF_MALTA_X / sqrt_a,
-        _NORM1_HF_X, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
-    )
-    ac1 = ac1 + _malta_diff_map(
-        pi0.mf[1], pi1.mf[1], _W_MF_MALTA, _W_MF_MALTA,
-        _NORM1_MF, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
-    )
-    ac0 = ac0 + _malta_diff_map(
-        pi0.mf[0], pi1.mf[0], _W_MF_MALTA_X, _W_MF_MALTA_X,
-        _NORM1_MF_X, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
-    )
+    if malta_ac is not None:
+        # Precomputed by the batched Pallas sweep (_malta_ac_batch).
+        ac0, ac1 = malta_ac[0], malta_ac[1]
+    else:
+        ac1 = _malta_diff_map(
+            pi0.uhf[1], pi1.uhf[1], _W_UHF_MALTA * a, _W_UHF_MALTA / a,
+            _NORM1_UHF, _MALTA_MULLI, _MALTA_LINES_FULL, m2,
+        )
+        ac0 = _malta_diff_map(
+            pi0.uhf[0], pi1.uhf[0], _W_UHF_MALTA_X * a, _W_UHF_MALTA_X / a,
+            _NORM1_UHF_X, _MALTA_MULLI, _MALTA_LINES_FULL, m2,
+        )
+        ac1 = ac1 + _malta_diff_map(
+            pi0.hf[1], pi1.hf[1], _W_HF_MALTA * sqrt_a, _W_HF_MALTA / sqrt_a,
+            _NORM1_HF, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
+        )
+        ac0 = ac0 + _malta_diff_map(
+            pi0.hf[0], pi1.hf[0], _W_HF_MALTA_X * sqrt_a, _W_HF_MALTA_X / sqrt_a,
+            _NORM1_HF_X, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
+        )
+        ac1 = ac1 + _malta_diff_map(
+            pi0.mf[1], pi1.mf[1], _W_MF_MALTA, _W_MF_MALTA,
+            _NORM1_MF, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
+        )
+        ac0 = ac0 + _malta_diff_map(
+            pi0.mf[0], pi1.mf[0], _W_MF_MALTA_X, _W_MF_MALTA_X,
+            _NORM1_MF_X, _MALTA_MULLI_LF, _MALTA_LINES_LF, m2,
+        )
 
     ac0 = ac0 + _l2_diff_asymmetric(pi0.hf[0], pi1.hf[0], _WMUL[0] * a, _WMUL[0] / a)
     ac1 = ac1 + _l2_diff_asymmetric(pi0.hf[1], pi1.hf[1], _WMUL[1] * a, _WMUL[1] / a)
@@ -584,11 +698,16 @@ def _diffmap_psycho(
     d_lf = pi0.lf - pi1.lf
     dc = jnp.asarray(_WMUL[6:9], jnp.float32)[:, None, None] * d_lf * d_lf
 
-    mask, mask_diff_ac = _mask_psycho_image(pi0, pi1, mask2d, mrow, mcol)
-    ac = ac.at[1].add(mask_diff_ac)
-
-    maskval = _mask_y(mask)
-    dc_maskval = _mask_dc_y(mask)
+    if mask_pre is not None:
+        # (b0, maskval, dc_maskval) precomputed from the reference once per
+        # sweep; only the candidate-side diff_ac remains per pair.
+        b0, maskval, dc_maskval = mask_pre
+        ac = ac.at[1].add(_mask_candidate_side(b0, pi1, mask2d, mrow, mcol))
+    else:
+        mask, mask_diff_ac = _mask_psycho_image(pi0, pi1, mask2d, mrow, mcol)
+        ac = ac.at[1].add(mask_diff_ac)
+        maskval = _mask_y(mask)
+        dc_maskval = _mask_dc_y(mask)
     total = dc_maskval * (xmul * dc[0] + dc[1] + dc[2]) + maskval * (
         xmul * ac[0] + ac[1] + ac[2]
     )
@@ -769,3 +888,50 @@ def butteraugli_against_reference(
     return jnp.max(
         butteraugli_distmap_against(ref, dist_u8, intensity_target, hf_asymmetry)
     )
+
+
+def butteraugli_batch(
+    ref: ButteraugliReference,
+    batch_u8: jnp.ndarray,
+    hf_asymmetry: float = 0.8,
+) -> jnp.ndarray:
+    """Scores for a (N, H, W, 3) u8 candidate batch vs one precomputed
+    reference — the sweep-scoring hot path.
+
+    Identical math to ``butteraugli_against_reference`` per pair, but the
+    Malta directional sweeps of the whole batch run as one fused Pallas
+    kernel per resolution (on TPU), instead of ~800 XLA slice ops that the
+    big batched program fails to fuse.
+    """
+    params = ref.params._replace(hf_asymmetry=hf_asymmetry)
+    h, w = ref.shape
+    n = batch_u8.shape[0]
+    if h < 8 or w < 8:
+        return jnp.zeros((n,), jnp.float32)
+    it = jnp.float32(params.intensity_target)
+
+    def stage(d_u8, pi0):
+        lin1 = jnp.moveaxis(srgb_u8_to_linear(d_u8), -1, 0)
+        if pi0 is not ref.pi0_full:
+            lin1 = _subsample2x(lin1)
+        pi1 = _separate_frequencies(_opsin_dynamics(lin1 * it))
+        return pi1, _malta_diffs_stack(pi0, pi1, params.hf_asymmetry)
+
+    def resolve(pi0, pi1_batch, stacks):
+        ac = _malta_ac_batch(stacks)
+        b0, mask = _mask_reference_side(pi0)
+        mask_pre = (b0, _mask_y(mask), _mask_dc_y(mask))
+        return jax.vmap(
+            lambda pi1, a: _diffmap_psycho(
+                pi0, pi1, params.hf_asymmetry, params.xmul,
+                malta_ac=a, mask_pre=mask_pre,
+            )
+        )(pi1_batch, ac)
+
+    pi1f, stacks_f = jax.vmap(lambda d: stage(d, ref.pi0_full))(batch_u8)
+    result = resolve(ref.pi0_full, pi1f, stacks_f)
+    if ref.pi0_sub is not None:
+        pi1s, stacks_s = jax.vmap(lambda d: stage(d, ref.pi0_sub))(batch_u8)
+        sub = resolve(ref.pi0_sub, pi1s, stacks_s)
+        result = jax.vmap(_add_supersampled2x)(result, sub)
+    return jnp.max(result, axis=(-2, -1))

@@ -1,0 +1,162 @@
+"""Pallas TPU kernel: fused Butteraugli Malta directional sweeps.
+
+The Malta stage evaluates, per band, ~12-16 oriented 5/9-sample line sums of
+an asymmetric diff plane, squares them, and accumulates — six such calls per
+resolution (reference wraps this inside the butteraugli crate,
+src/metrics/butteraugli.rs:45-135; the recovered line patterns live in
+``kernels/butteraugli.py``).
+
+In pure XLA the big scoring program stops fusing these sweeps and
+materializes hundreds of (batch, H, W) intermediates: measured 52 ms of the
+64 ms butteraugli batch at 512px/25 candidates (tools/
+profile_butteraugli_stages.py).  This kernel keeps the data in VMEM:
+
+- The input is restaged host-side as *overlapping row slabs* (halo included)
+  so plain BlockSpec indexing feeds the grid and Mosaic double-buffers the
+  fetches — no manual DMA.
+- Each grid step handles one (batch, row-tile, channel) cell.  The channel
+  axis is innermost so the output block (the two Malta accumulators) stays
+  resident in VMEM across all six channels and is written back once.
+- All (dy, dx) offsets are realized as 9 lane-rotated copies up front;
+  every line sample is then a cheap sublane slice, instead of one lane
+  rotation per sample (~520 of them).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+#: (dest accumulator, pattern kind) per input channel, matching the call
+#: sequence in kernels/butteraugli.py _diffmap_psycho.
+_CHANNEL_SPEC = (
+    (1, "full"),  # uhf_y
+    (0, "full"),  # uhf_x
+    (1, "lf"),    # hf_y
+    (0, "lf"),    # hf_x
+    (1, "lf"),    # mf_y
+    (0, "lf"),    # mf_x
+)
+
+_RADIUS = 4  # max |dy|, |dx| over all line patterns
+
+
+def _sweep_shifted(shifted, lines, tile: int):
+    """shifted (9, tile+2r, wp) dx-rotated copies -> (tile, wp) sweep sum."""
+    acc = None
+    for weight, line in lines:
+        s = None
+        for dy, dx in line:
+            piece = shifted[dx + _RADIUS, _RADIUS + dy : _RADIUS + dy + tile, :]
+            s = piece if s is None else s + piece
+        term = weight * (s * s)
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _malta_kernel(
+    slab_ref, out_ref, shifted, *, tile, wp, lines_full, lines_lf
+):
+    ch = pl.program_id(2)
+
+    # One lane rotation per dx; all line samples below are sublane slices.
+    for dx in range(2 * _RADIUS + 1):
+        shifted[dx] = slab_ref[0, 0, 0, :, dx : dx + wp]
+
+    @pl.when(ch == 0)
+    def _():
+        out_ref[0, 0] = jnp.zeros((tile, wp), jnp.float32)
+        out_ref[0, 1] = jnp.zeros((tile, wp), jnp.float32)
+
+    def add_sweep(lines):
+        acc = _sweep_shifted(shifted, lines, tile)
+        # Channel -> accumulator: even channels feed ac1 (luma), odd ac0
+        # (X opponent) — see _CHANNEL_SPEC.
+        is_ac1 = (ch % 2) == 0
+        out_ref[0, 0] = out_ref[0, 0] + jnp.where(is_ac1, 0.0, 1.0) * acc
+        out_ref[0, 1] = out_ref[0, 1] + jnp.where(is_ac1, 1.0, 0.0) * acc
+
+    @pl.when(ch < 2)
+    def _():
+        add_sweep(lines_full)
+
+    @pl.when(ch >= 2)
+    def _():
+        add_sweep(lines_lf)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lines_full", "lines_lf", "interpret")
+)
+def malta_ac_batch_pallas(
+    diffs: jnp.ndarray, lines_full, lines_lf, interpret: bool = False
+) -> jnp.ndarray:
+    """(B, 6, H, W) diff planes -> (B, 2, H, W) Malta accumulators.
+
+    ``lines_full`` / ``lines_lf`` are the static line-pattern tuples from
+    ``kernels/butteraugli.py`` (hashable, passed through for jit caching).
+    """
+    b, c, h, w = diffs.shape
+    assert c == 6, diffs.shape
+    r = _RADIUS
+
+    # Output width is lane-aligned; slabs must cover it plus the sweep halo
+    # on both sides so every in-kernel slice is in range.
+    wp = ((w + 127) // 128) * 128
+    wp_in = ((wp + 2 * r + 127) // 128) * 128
+
+    # Row tile: multiples of 8, sized so the per-step VMEM footprint
+    # (shifted copies + in/out blocks + live line sums) stays well under
+    # the 16 MB scoped budget.
+    tile = 128
+    while tile > 8 and (2 * r + 13) * (tile + 2 * r) * wp * 4 > 8 * 1024 * 1024:
+        tile //= 2
+    tile = min(tile, ((h + 7) // 8) * 8)
+    hp = ((h + tile - 1) // tile) * tile
+    nt = hp // tile
+    slab_rows = tile + 2 * r  # both are multiples of 8
+
+    # Zero-pad (halo + alignment), then restage as overlapping row slabs
+    # (B, 6, nt, slab_rows, wp_in) so the grid reads non-overlapping blocks.
+    pad = ((0, 0), (0, 0), (r, (hp - h) + r), (r, wp_in - w - r))
+    diffs_p = jnp.pad(diffs, pad)
+    slabs = jnp.stack(
+        [diffs_p[:, :, i * tile : i * tile + slab_rows, :] for i in range(nt)],
+        axis=2,
+    )
+
+    kernel = functools.partial(
+        _malta_kernel,
+        tile=tile,
+        wp=wp,
+        lines_full=lines_full,
+        lines_lf=lines_lf,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nt, 6),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, 1, slab_rows, wp_in),
+                lambda bi, ti, ci: (bi, ci, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, tile, wp),
+            lambda bi, ti, ci: (bi, 0, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 2, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * r + 1, slab_rows, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(slabs)
+    if hp != h or wp != w:
+        out = out[:, :, :h, :w]
+    return out
