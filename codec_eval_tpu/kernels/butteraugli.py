@@ -212,13 +212,32 @@ def _blur_matrix(n: int, sigma: float) -> np.ndarray:
     return m.astype(np.float32)
 
 
+#: MXU accumulation precision for the blur matmuls: "high" (default,
+#: 3-pass bf16) or "highest" (6-pass bf16 ~= true f32).  A/B on the full
+#: 148-pair distortion corpus at 128px: oracle deviation is unchanged
+#: (median 0.74% vs 0.76%, p90 5.94% vs 5.66%; per-pair self-shift
+#: ~0.2%), while the all-metric sweep gains ~13% throughput.  Set
+#: CODEC_EVAL_BA_BLUR_PRECISION=highest for exact-parity verification
+#: runs (tools/butteraugli_parity.py reports both).
+BLUR_PRECISION = __import__("os").environ.get(
+    "CODEC_EVAL_BA_BLUR_PRECISION", "high"
+)
+
+
+def _blur_precision():
+    return (
+        jax.lax.Precision.HIGH if BLUR_PRECISION == "high" else _HIGHEST
+    )
+
+
 def _blur(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Blur (..., H, W) planes with the model's renormalized Gaussian."""
     h, w = planes.shape[-2], planes.shape[-1]
+    prec = _blur_precision()
     bh = jnp.asarray(_blur_matrix(h, sigma))
     bw = jnp.asarray(_blur_matrix(w, sigma))
-    out = jnp.einsum("ij,...jk->...ik", bh, planes, precision=_HIGHEST)
-    return jnp.einsum("...ik,lk->...il", out, bw, precision=_HIGHEST)
+    out = jnp.einsum("ij,...jk->...ik", bh, planes, precision=prec)
+    return jnp.einsum("...ik,lk->...il", out, bw, precision=prec)
 
 
 def _blur_masked(
