@@ -255,7 +255,11 @@ def _blur_masked(
     bw = jnp.asarray(_blur_matrix(w, sigma))
     out = jnp.einsum("ij,...jk->...ik", bh, planes, precision=_HIGHEST)
     out = jnp.einsum("...ik,lk->...il", out, bw, precision=_HIGHEST)
-    denom = jnp.outer(bh @ mrow, bw @ mcol)
+    # Keep the mat-vecs off the bf16 MXU default (same class of bug as the
+    # opsin tensordot — see _opsin_absorbance).
+    vrow = jnp.einsum("ij,j->i", bh, mrow, precision=_HIGHEST)
+    vcol = jnp.einsum("ij,j->i", bw, mcol, precision=_HIGHEST)
+    denom = jnp.outer(vrow, vcol)
     out = out / jnp.maximum(denom, 1e-9)
     return out * (mrow[:, None] * mcol[None, :])
 
@@ -287,9 +291,23 @@ def _gamma(v: jnp.ndarray) -> jnp.ndarray:
 
 
 def _opsin_absorbance(rgb: jnp.ndarray) -> jnp.ndarray:
-    """(3, H, W) linear RGB (already intensity-scaled) -> LMS-ish mixes."""
-    mixed = jnp.tensordot(jnp.asarray(_OPSIN), rgb, axes=1)
-    return mixed + jnp.asarray(_OPSIN_BIAS)[:, None, None]
+    """(3, H, W) linear RGB (already intensity-scaled) -> LMS-ish mixes.
+
+    Written as explicit scalar multiply-adds, NOT a tensordot: XLA lowers a
+    3x3 contraction to an MXU matmul whose default precision is bf16,
+    which injected ~0.5% relative error into every opsin value on TPU
+    (absolute 0.195 on O(40) mixes, measured 2026-08-17).  Elementwise
+    FMAs stay in exact f32 on the VPU and fuse with the surrounding ops.
+    """
+    m = _OPSIN
+    planes = [
+        float(m[i, 0]) * rgb[0]
+        + float(m[i, 1]) * rgb[1]
+        + float(m[i, 2]) * rgb[2]
+        + float(_OPSIN_BIAS[i])
+        for i in range(3)
+    ]
+    return jnp.stack(planes, axis=0)
 
 
 def _opsin_dynamics(
@@ -909,6 +927,52 @@ def butteraugli_against_reference(
     )
 
 
+#: Fused opsin+band-separation implementation for the batch path:
+#: "auto" (Pallas on TPU, XLA elsewhere), or force "pallas" / "xla".
+FREQSEP_IMPL = __import__("os").environ.get("CODEC_EVAL_FREQSEP_IMPL", "auto")
+
+_OPSIN_CONSTS = tuple(float(v) for v in _OPSIN.reshape(-1)) + tuple(
+    float(v) for v in _OPSIN_BIAS
+) + (_GAMMA_MUL, _GAMMA_OFF, _GAMMA_SUB)
+_BAND_CONSTS = (
+    _MF_X_REMOVE, _MF_Y_AMPLIFY, _UHF_X_REMOVE, _HF_X_REMOVE,
+    _SUPPRESS_YW, _SUPPRESS_S, _MAXCLAMP_HF, _MAXCLAMP_UHF, _MAXCLAMP_MUL,
+    _UHF_Y_MUL, _HF_Y_MUL, _HF_Y_AMPLIFY,
+)
+
+
+def _psycho_batch(lin_scaled: jnp.ndarray) -> PsychoImage:
+    """(B, 3, H, W) intensity-scaled linear RGB -> batched PsychoImage.
+
+    On TPU the opsin dynamics and the MF/HF/UHF chain run as fused Pallas
+    kernels (pallas/freqsep.py); the sigma-7.16 LF blur stays on the MXU.
+    Off-TPU this is the plain XLA pipeline.
+    """
+    impl = FREQSEP_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if impl != "pallas":
+        return jax.vmap(
+            lambda l: _separate_frequencies(_opsin_dynamics(l))
+        )(lin_scaled)
+    from .pallas.freqsep import bands_batch_pallas, opsin_xyb_batch_pallas
+
+    xyb = opsin_xyb_batch_pallas(lin_scaled, _OPSIN_CONSTS)
+    lf = jax.vmap(lambda p: _blur(p, SIGMA_LF))(xyb)
+    bands = bands_batch_pallas(xyb, lf, _BAND_CONSTS)
+    lf_vals = jnp.stack(
+        [
+            lf[:, 0] * _XLF_X,
+            lf[:, 1] * _XLF_Y,
+            (lf[:, 2] + _XLF_Y_TO_B * lf[:, 1]) * _XLF_B,
+        ],
+        axis=1,
+    )
+    return PsychoImage(
+        uhf=bands[:, 0:2], hf=bands[:, 2:4], mf=bands[:, 4:7], lf=lf_vals
+    )
+
+
 def butteraugli_batch(
     ref: ButteraugliReference,
     batch_u8: jnp.ndarray,
@@ -929,12 +993,17 @@ def butteraugli_batch(
         return jnp.zeros((n,), jnp.float32)
     it = jnp.float32(params.intensity_target)
 
-    def stage(d_u8, pi0):
-        lin1 = jnp.moveaxis(srgb_u8_to_linear(d_u8), -1, 0)
-        if pi0 is not ref.pi0_full:
-            lin1 = _subsample2x(lin1)
-        pi1 = _separate_frequencies(_opsin_dynamics(lin1 * it))
-        return pi1, _malta_diffs_stack(pi0, pi1, params.hf_asymmetry)
+    def stage(pi0, sub):
+        lin = jax.vmap(lambda d: jnp.moveaxis(srgb_u8_to_linear(d), -1, 0))(
+            batch_u8
+        )
+        if sub:
+            lin = jax.vmap(_subsample2x)(lin)
+        pi1 = _psycho_batch(lin * it)
+        stacks = jax.vmap(
+            lambda p1: _malta_diffs_stack(pi0, p1, params.hf_asymmetry)
+        )(pi1)
+        return pi1, stacks
 
     def resolve(pi0, pi1_batch, stacks):
         ac = _malta_ac_batch(stacks)
@@ -947,10 +1016,10 @@ def butteraugli_batch(
             )
         )(pi1_batch, ac)
 
-    pi1f, stacks_f = jax.vmap(lambda d: stage(d, ref.pi0_full))(batch_u8)
+    pi1f, stacks_f = stage(ref.pi0_full, False)
     result = resolve(ref.pi0_full, pi1f, stacks_f)
     if ref.pi0_sub is not None:
-        pi1s, stacks_s = jax.vmap(lambda d: stage(d, ref.pi0_sub))(batch_u8)
+        pi1s, stacks_s = stage(ref.pi0_sub, True)
         sub = resolve(ref.pi0_sub, pi1s, stacks_s)
         result = jax.vmap(_add_supersampled2x)(result, sub)
     return jnp.max(result, axis=(-2, -1))

@@ -1,0 +1,381 @@
+"""Pallas TPU kernels: fused Butteraugli opsin dynamics + band separation.
+
+The candidate side of every Butteraugli pair runs opsin dynamics (surround
+blur + local-adaptation gamma + opponent transform) and frequency
+separation (LF/MF/HF/UHF band split with range reshaping).  In XLA each
+blur is a separate matmul pair with HBM round trips between the elementwise
+stages — ~8 ms of the 16 ms butteraugli batch at 512px/25 candidates.
+
+These kernels keep the chains in VMEM:
+
+- ``opsin_xyb_batch_pallas``: intensity-scaled linear RGB -> opponent XYB.
+  The sigma-1.2 surround blur runs as an in-register separable FIR
+  (sublane slices vertically, lane slices horizontally) with the model's
+  border renormalization applied via a precomputed reciprocal plane.
+- ``bands_batch_pallas``: (XYB, LF) -> the seven MF/HF/UHF band planes.
+  The sigma-3.22 and sigma-1.56 blur chain (blur of a blur's residual)
+  runs inside one kernel per row tile with compounding halos, so the
+  intermediate planes never touch HBM.
+
+The sigma-7.16 LF blur stays outside on the MXU (33-tap FIR is VPU-hostile;
+a dense banded matmul at that radius is faster) — see kernels/butteraugli.py
+``_blur``.  Inputs are restaged host-side as overlapping row slabs so plain
+BlockSpec indexing feeds the grid (same trick as pallas/malta.py).
+
+Exactness: identical arithmetic to the XLA path modulo float summation
+order inside the FIR (taps applied in the same order; differences are
+~1e-7 relative).  Border semantics match the model exactly: zero-padded
+convolution divided by the blurred inside-image indicator.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _taps(sigma: float) -> tuple:
+    radius = max(1, int(2.25 * sigma))
+    t = np.exp(
+        -1.0 / (2.0 * sigma * sigma) * np.arange(-radius, radius + 1) ** 2
+    )
+    return tuple(float(v) for v in t)
+
+
+def _overlap_slabs(x: jnp.ndarray, tile: int, halo: int, hp: int) -> jnp.ndarray:
+    """(..., Hpad, W) zero-padded -> (..., nt, tile + 2*halo, W) row slabs.
+
+    ``x`` must already be padded to ``hp + 2*halo`` rows (halo top/bottom).
+    """
+    nt = hp // tile
+    slabs = [
+        x[..., i * tile : i * tile + tile + 2 * halo, :] for i in range(nt)
+    ]
+    return jnp.stack(slabs, axis=-3)
+
+
+@functools.lru_cache(maxsize=None)
+def _recip_norm(h: int, w: int, sigma: float) -> np.ndarray:
+    """1 / (blurred inside-image indicator), 0 outside — (h, w) f32.
+
+    Multiplying the zero-padded separable FIR by this plane reproduces the
+    model's border-renormalized blur exactly (the denominator separates
+    into an outer product of 1-D blurred masks).
+    """
+    t = np.asarray(_taps(sigma), np.float64)
+    r = len(t) // 2
+
+    def norm1d(n):
+        ones = np.ones(n)
+        padded = np.pad(ones, r)
+        out = np.zeros(n)
+        for i, tap in enumerate(t):
+            out += tap * padded[i : i + n]
+        return out
+
+    denom = np.outer(norm1d(h), norm1d(w))
+    return (1.0 / denom).astype(np.float32)
+
+
+def _fir_v(x, taps, r: int, rows: int, row0: int):
+    """Vertical FIR: x (..., >=row0+rows+r, W) -> (..., rows, W) starting at
+    absolute slab row ``row0`` (x rows row0-r .. row0+rows+r contribute)."""
+    out = None
+    for i, t in enumerate(taps):
+        piece = t * x[..., row0 - r + i : row0 - r + i + rows, :]
+        out = piece if out is None else out + piece
+    return out
+
+
+def _fir_h(x, taps, r: int, cols: int, col0: int):
+    out = None
+    for i, t in enumerate(taps):
+        piece = t * x[..., :, col0 - r + i : col0 - r + i + cols]
+        out = piece if out is None else out + piece
+    return out
+
+
+# ---------------------------------------------------------------------------
+# K1: opsin dynamics.
+# ---------------------------------------------------------------------------
+
+
+def _opsin_kernel(
+    slab_ref, recip_ref, out_ref, *, consts, taps12, tile, wp, halo
+):
+    r = len(taps12) // 2
+    lin = slab_ref[0, :, 0]  # (3, tile + 2*halo, wp_in)
+    # Renormalized surround blur at output rows/cols.
+    blur_v = _fir_v(lin, taps12, r, tile, halo)
+    blurred = _fir_h(blur_v, taps12, r, wp, halo) * recip_ref[0]
+
+    center = lin[:, halo : halo + tile, halo : halo + wp]
+
+    (m00, m01, m02, m10, m11, m12, m20, m21, m22,
+     b0, b1, b2, gmul, goff, gsub) = consts
+
+    def absorb(p):
+        return (
+            m00 * p[0] + m01 * p[1] + m02 * p[2] + b0,
+            m10 * p[0] + m11 * p[1] + m12 * p[2] + b1,
+            m20 * p[0] + m21 * p[1] + m22 * p[2] + b2,
+        )
+
+    def fast_log2(v):
+        bits = jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.int32)
+        e = bits - jnp.int32(0x3F2AAAAB)
+        exp = e >> 23
+        mant = jax.lax.bitcast_convert_type(bits - (exp << 23), jnp.float32)
+        m = mant - 1.0
+        p = (0.74245876 * m + 1.4287161) * m - 1.8503833e-06
+        q = (0.17409343 * m + 1.0096718) * m + 0.99032813
+        return p / q + exp.astype(jnp.float32)
+
+    pre = absorb(blurred)
+    cur_c = absorb(center)
+    biases = (b0, b1, b2)
+    xyb = []
+    for i in range(3):
+        p = jnp.maximum(jnp.maximum(pre[i], biases[i]), 1e-4)
+        gamma = gmul * fast_log2(jnp.maximum(p, 0.0) + goff) - gsub
+        sens = jnp.maximum(gamma / p, 1e-4)
+        xyb.append(jnp.maximum(cur_c[i] * sens, biases[i]))
+    out_ref[0, 0, 0] = xyb[0] - xyb[1]
+    out_ref[0, 1, 0] = xyb[0] + xyb[1]
+    out_ref[0, 2, 0] = xyb[2]
+
+
+@functools.partial(jax.jit, static_argnames=("consts", "interpret"))
+def opsin_xyb_batch_pallas(
+    linear_scaled: jnp.ndarray, consts, interpret: bool = False
+) -> jnp.ndarray:
+    """(B, 3, H, W) intensity-scaled linear RGB -> (B, 3, H, W) opponent XYB."""
+    b, c, h, w = linear_scaled.shape
+    sigma = 1.2
+    taps12 = _taps(sigma)
+    halo = 8  # >= radius(2), multiple of 8 so slab rows stay aligned
+
+    wp = ((w + 127) // 128) * 128
+    wp_in = ((wp + 2 * halo + 127) // 128) * 128
+    tile = min(128, ((h + 7) // 8) * 8)
+    hp = ((h + tile - 1) // tile) * tile
+    nt = hp // tile
+
+    pad = ((0, 0), (0, 0), (halo, hp - h + halo), (halo, wp_in - w - halo))
+    slabs = _overlap_slabs(jnp.pad(linear_scaled, pad), tile, halo, hp)
+    # (B, 3, nt, tile+2*halo, wp_in) -> grid blocks (1, 3, 1, rows, wp_in)
+
+    recip = np.zeros((hp, wp), np.float32)
+    recip[:h, :w] = _recip_norm(h, w, sigma)
+    recip_dev = jnp.asarray(recip)
+
+    kernel = functools.partial(
+        _opsin_kernel, consts=consts, taps12=taps12, tile=tile, wp=wp,
+        halo=halo,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, 1, tile + 2 * halo, wp_in),
+                lambda bi, ti: (bi, 0, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile, wp),
+                lambda bi, ti: (0, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, 1, tile, wp),
+            lambda bi, ti: (bi, 0, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 3, nt, tile, wp), jnp.float32),
+        interpret=interpret,
+    )(slabs, recip_dev[None])
+    out = out.reshape(b, 3, hp, wp)
+    if hp != h or wp != w:
+        out = out[:, :, :h, :w]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# K2: band separation given LF.
+# ---------------------------------------------------------------------------
+
+
+def _bands_kernel(
+    xyb_ref, lf_ref, recip332_ref, recip156_ref, out_ref,
+    *, consts, taps332, taps156, tile, wp, halo,
+):
+    (mf_x_remove, mf_y_amplify, uhf_x_remove, hf_x_remove,
+     suppress_yw, suppress_s, maxclamp_hf, maxclamp_uhf, maxclamp_mul,
+     uhf_y_mul, hf_y_mul, hf_y_amplify) = consts
+    r332 = len(taps332) // 2
+    r156 = len(taps156) // 2
+
+    def remove_range(v, wdt):
+        return jnp.where(v > wdt, v - wdt, jnp.where(v < -wdt, v + wdt, 0.0))
+
+    def amplify_range(v, wdt):
+        return jnp.where(v > wdt, v + wdt, jnp.where(v < -wdt, v - wdt, 2.0 * v))
+
+    def maximum_clamp(v, m):
+        return jnp.where(
+            v >= m, (v - m) * maxclamp_mul + m,
+            jnp.where(v < -m, (v + m) * maxclamp_mul - m, v),
+        )
+
+    # mf_pre = xyb - lf over the full slab (needed at chained-blur extents).
+    mf_pre = xyb_ref[0, :, 0] - lf_ref[0, :, 0]  # (3, tile+2*halo, wp_in)
+
+    # Stage 1: sigma-3.22 blur of all three mf_pre planes.  Valid rows for
+    # the next stage: [halo - r156_need, halo + tile + r156_need).
+    inner_rows = tile + 2 * (r156 + 1)  # r156 rounded up margin
+    inner0 = halo - (r156 + 1)
+    inner_cols = wp + 2 * (r156 + 1)
+    incol0 = halo - (r156 + 1)
+    bv = _fir_v(mf_pre, taps332, r332, inner_rows, inner0)
+    mf_blur = (
+        _fir_h(bv, taps332, r332, inner_cols, incol0)
+        * recip332_ref[0]
+    )  # (3, inner_rows, inner_cols)
+
+    ctr = lambda p: p[..., r156 + 1 : r156 + 1 + tile, r156 + 1 : r156 + 1 + wp]
+
+    mf_x = remove_range(ctr(mf_blur[0]), mf_x_remove)
+    mf_y = amplify_range(ctr(mf_blur[1]), mf_y_amplify)
+    mf_b = ctr(mf_blur[2])
+
+    # hf0 = mf_pre - mf_blur for X/Y at the inner extent (stage-2 input).
+    mfp_inner = mf_pre[:2, inner0 : inner0 + inner_rows, incol0 : incol0 + inner_cols]
+    hf0 = mfp_inner - mf_blur[:2]
+    # Red-green suppression by luminance change (pre-UHF split).
+    hf0_x = hf0[0] * (
+        suppress_s + (1.0 - suppress_s) * suppress_yw / (suppress_yw + hf0[1] * hf0[1])
+    )
+    hf = jnp.stack([hf0_x, hf0[1]], axis=0)
+
+    # Stage 2: sigma-1.56 blur of hf at output extent.
+    hv = _fir_v(hf, taps156, r156, tile, r156 + 1)
+    hf_blur = _fir_h(hv, taps156, r156, wp, r156 + 1) * recip156_ref[0]
+
+    hf_c = hf[:, r156 + 1 : r156 + 1 + tile, r156 + 1 : r156 + 1 + wp]
+    uhf_x = remove_range(hf_c[0] - hf_blur[0], uhf_x_remove)
+    hf_x_out = remove_range(hf_blur[0], hf_x_remove)
+    hfc = maximum_clamp(hf_blur[1], maxclamp_hf)
+    uhf_y = maximum_clamp(hf_c[1] - hfc, maxclamp_uhf) * uhf_y_mul
+    hf_y_out = amplify_range(hfc * hf_y_mul, hf_y_amplify)
+
+    out_ref[0, 0, 0] = uhf_x
+    out_ref[0, 1, 0] = uhf_y
+    out_ref[0, 2, 0] = hf_x_out
+    out_ref[0, 3, 0] = hf_y_out
+    out_ref[0, 4, 0] = mf_x
+    out_ref[0, 5, 0] = mf_y
+    out_ref[0, 6, 0] = mf_b
+
+
+@functools.partial(jax.jit, static_argnames=("consts", "interpret"))
+def bands_batch_pallas(
+    xyb: jnp.ndarray, lf: jnp.ndarray, consts, interpret: bool = False
+) -> jnp.ndarray:
+    """(B, 3, H, W) XYB + its LF blur -> (B, 7, H, W) band planes.
+
+    Output channel order: uhf_x, uhf_y, hf_x, hf_y, mf_x, mf_y, mf_b.
+    """
+    b, c, h, w = xyb.shape
+    s332, s156 = 3.2248991, 1.5641633
+    taps332, taps156 = _taps(s332), _taps(s156)
+    r332, r156 = len(taps332) // 2, len(taps156) // 2
+    halo_needed = r332 + r156 + 1
+    halo = ((halo_needed + 7) // 8) * 8  # 16 for (7, 3)
+
+    wp = ((w + 127) // 128) * 128
+    wp_in = ((wp + 2 * halo + 127) // 128) * 128
+    # Mosaic keeps ~90 (tile, wp_in)-row f32 temporaries live on the
+    # scoped-VMEM stack for the unrolled two-stage chain (23.1 MB measured
+    # at tile=128, wp=512); size the tile to stay under ~11 MB.
+    tile = 128
+    while tile > 8 and 90 * tile * wp_in * 4 > 11 * 1024 * 1024:
+        tile //= 2
+    tile = min(tile, ((h + 7) // 8) * 8)
+    hp = ((h + tile - 1) // tile) * tile
+    nt = hp // tile
+
+    pad = ((0, 0), (0, 0), (halo, hp - h + halo), (halo, wp_in - w - halo))
+    xyb_slabs = _overlap_slabs(jnp.pad(xyb, pad), tile, halo, hp)
+    lf_slabs = _overlap_slabs(jnp.pad(lf, pad), tile, halo, hp)
+
+    # Reciprocal-denominator slabs per blur stage, in each stage's local
+    # coordinates.  Stage 1 (sigma 3.22) is evaluated on the inner extent
+    # [halo - r156 - 1, halo + tile + r156 + 1) x same for cols; stage 2
+    # (sigma 1.56) at the output extent.
+    inner_rows = tile + 2 * (r156 + 1)
+    inner_cols = wp + 2 * (r156 + 1)
+
+    def recip_plane(sigma):
+        rp = _recip_norm(h, w, sigma)
+        return rp
+
+    m = r156 + 1
+    r332_full = np.zeros((hp + 2 * m, wp + 2 * m), np.float32)
+    r332_full[m : m + h, m : m + w] = recip_plane(s332)
+    r332_slabs = np.stack(
+        [r332_full[i * tile : i * tile + inner_rows, :inner_cols] for i in range(nt)]
+    )
+    r156_full = np.zeros((hp, wp), np.float32)
+    r156_full[:h, :w] = recip_plane(s156)
+    r156_slabs = np.stack(
+        [r156_full[i * tile : i * tile + tile, :wp] for i in range(nt)]
+    )
+
+    kernel = functools.partial(
+        _bands_kernel, consts=consts, taps332=taps332, taps156=taps156,
+        tile=tile, wp=wp, halo=halo,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 3, 1, tile + 2 * halo, wp_in),
+                lambda bi, ti: (bi, 0, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 3, 1, tile + 2 * halo, wp_in),
+                lambda bi, ti: (bi, 0, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, inner_rows, inner_cols),
+                lambda bi, ti: (ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile, wp),
+                lambda bi, ti: (ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 7, 1, tile, wp),
+            lambda bi, ti: (bi, 0, ti, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 7, nt, tile, wp), jnp.float32),
+        interpret=interpret,
+    )(xyb_slabs, lf_slabs, jnp.asarray(r332_slabs), jnp.asarray(r156_slabs))
+    out = out.reshape(b, 7, hp, wp)
+    if hp != h or wp != w:
+        out = out[:, :, :h, :w]
+    return out
