@@ -108,8 +108,8 @@ def candidate_moments_pallas(
         kernel,
         grid=(c, nt),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(out_shape, out_shape, out_shape),
