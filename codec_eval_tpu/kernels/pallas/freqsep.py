@@ -301,12 +301,16 @@ def bands_batch_pallas(
 
     wp = ((w + 127) // 128) * 128
     wp_in = ((wp + 2 * halo + 127) // 128) * 128
-    # Mosaic keeps ~90 (tile, wp_in)-row f32 temporaries live on the
+    # Mosaic keeps ~70 (tile, wp_in)-row f32 temporaries live on the
     # scoped-VMEM stack for the unrolled two-stage chain (23.1 MB measured
-    # at tile=128, wp=512); size the tile to stay under ~11 MB.
-    tile = 128
-    while tile > 8 and 90 * tile * wp_in * 4 > 11 * 1024 * 1024:
-        tile //= 2
+    # at tile=128, wp=512).  Measured at 512px: tile=48 is fastest (2.08
+    # ms/dispatch for 25 candidates vs 2.78 at 32 and 2.57 at 64 — larger
+    # tiles start spilling); pick the largest tile under a ~9.5 MB model.
+    tile = 8
+    for cand_tile in (96, 64, 48, 32, 24, 16):
+        if 70 * cand_tile * wp_in * 4 <= 9.5 * 1024 * 1024:
+            tile = cand_tile
+            break
     tile = min(tile, ((h + 7) // 8) * 8)
     hp = ((h + tile - 1) // tile) * tile
     nt = hp // tile
