@@ -385,12 +385,16 @@ def _features_kernel_batch(
     artifact = artifact * mask
     detail_lost = detail_lost * mask
 
-    d1_ref[n, c, t] = jnp.sum(d)
-    d4_ref[n, c, t] = jnp.sum(d * d * d * d)
-    a1_ref[n, c, t] = jnp.sum(artifact)
-    a4_ref[n, c, t] = jnp.sum(artifact**4)
-    l1_ref[n, c, t] = jnp.sum(detail_lost)
-    l4_ref[n, c, t] = jnp.sum(detail_lost**4)
+    # Flat 1-D SMEM outputs: multi-dim SMEM windows pad each of the two
+    # minor dims (to 8 x 64 element tiles), which blows a (N, 3, nt) f32
+    # window up ~28x and overflows the 1 MB smem budget at N=100.
+    idx = (n * nc + c) * nt + t
+    d1_ref[idx] = jnp.sum(d)
+    d4_ref[idx] = jnp.sum(d * d * d * d)
+    a1_ref[idx] = jnp.sum(artifact)
+    a4_ref[idx] = jnp.sum(artifact**4)
+    l1_ref[idx] = jnp.sum(detail_lost)
+    l4_ref[idx] = jnp.sum(detail_lost**4)
 
 
 @functools.partial(jax.jit, static_argnames=("sigma",))
@@ -429,9 +433,9 @@ def scale_features_pallas_batch(
         valid_w=w, valid_h=h, n_cand=n_cand, use_mm=use_mm,
     )
     t_top, t_mid, t_bot = (jnp.asarray(m) for m in _block_tridiag_ops(sigma))
-    sum_shape = jax.ShapeDtypeStruct((n_cand, c, nt), jnp.float32)
+    sum_shape = jax.ShapeDtypeStruct((n_cand * c * nt,), jnp.float32)
     sum_spec = pl.BlockSpec(
-        (n_cand, c, nt), lambda ci, ti, ni: (0, 0, 0), memory_space=pltpu.SMEM
+        (n_cand * c * nt,), lambda ci, ti, ni: (0,), memory_space=pltpu.SMEM
     )
     tile_spec = pl.BlockSpec(
         (1, tile, wp), lambda ci, ti, ni: (ci, ti, 0), memory_space=pltpu.VMEM
@@ -462,7 +466,9 @@ def scale_features_pallas_batch(
     )(x1p, x2p, mu1p, s11p, t_top, t_mid, t_bot)
 
     nn = jnp.float32(h * w)
-    d1, d4, a1, a4, l1, l4 = (s.sum(axis=2) for s in sums)  # (N, C)
+    d1, d4, a1, a4, l1, l4 = (
+        s.reshape(n_cand, c, nt).sum(axis=2) for s in sums
+    )  # (N, C)
     feats = jnp.stack(
         [
             jnp.stack([d1 / nn, a1 / nn, l1 / nn], axis=-1),
