@@ -88,7 +88,10 @@ def _sweep_codecs():
 
 def run_sweep_scenario(jax, jnp) -> dict:
     """BASELINE.md flagship: dense 25-pt x 4-codec all-metric sweep at 512px."""
-    from codec_eval_tpu.engine.scoring import _build_scorer
+    from codec_eval_tpu.engine.scoring import (
+        _build_chunk_scorer,
+        _build_precompute,
+    )
 
     refs = [_photo(SWEEP_SIZE, SWEEP_SIZE, 100 + i) for i in range(SWEEP_IMAGES)]
     codecs = _sweep_codecs()
@@ -103,36 +106,43 @@ def run_sweep_scenario(jax, jnp) -> dict:
     with ThreadPoolExecutor(max_workers=8) as pool:
         cand_batches = list(pool.map(encode_image, refs))
 
-    # One chunk per codec (25 candidates): the all-metric fused program at
-    # batch=100 exceeds TPU scalar memory (smem), and per-codec chunks are
-    # the natural sweep batching anyway.
-    chunk = len(SWEEP_QUALITIES)
-    scorer_all = _build_scorer(
-        SWEEP_SIZE, SWEEP_SIZE, chunk, True, True, True, True, False
+    # The reference-side work (pyramids, psycho images, masking) runs once
+    # per image in its own program; candidates are scored in chunks of 50
+    # (two dispatches cover the 4-codec x 25-quality grid with no padding;
+    # measured sweet spot — chunk 100 compiles but loses ~9% to HBM
+    # pressure, chunk 25 loses ~8% to per-dispatch fixed cost).
+    chunk = 50
+    n_chunks = n_cand // chunk
+    scorer_all = _build_chunk_scorer(
+        SWEEP_SIZE, SWEEP_SIZE, chunk, True, True, True, True
     )
-    scorer_s2 = _build_scorer(
-        SWEEP_SIZE, SWEEP_SIZE, chunk, False, True, False, False, False
+    scorer_s2 = _build_chunk_scorer(
+        SWEEP_SIZE, SWEEP_SIZE, chunk, False, True, False, False
     )
+    pre_all = _build_precompute(SWEEP_SIZE, SWEEP_SIZE, True, True, True, False)
+    pre_s2 = _build_precompute(SWEEP_SIZE, SWEEP_SIZE, False, True, False, False)
     refs_dev = [jnp.asarray(r) for r in refs]
     chunks = [
-        [batch[c * chunk : (c + 1) * chunk] for c in range(len(codecs))]
+        [batch[c * chunk : (c + 1) * chunk] for c in range(n_chunks)]
         for batch in cand_batches
     ]
 
-    def timed_pairs_per_sec(scorer, reps=3):
+    def timed_pairs_per_sec(scorer, pre_fn, reps=3):
         """Returns (sustained, with_staging) pairs/s.
 
         ``sustained`` times the dispatch chain over pre-staged device
-        inputs, materializing one value of the LAST dispatch (the device
-        stream is serial, so its completion implies all priors completed;
-        block_until_ready alone can return before remote execution
-        finishes on this backend).  This matches production, where PCIe
-        staging (~1-2 ms/chunk) fully overlaps with ~25 ms of compute.
-        ``with_staging`` includes the host->device transfers, which on
-        this dev tunnel cost ~100x PCIe and serialize — reported for
-        transparency, not representative of TPU-host deployments.
+        inputs — per image one reference-precompute dispatch plus
+        ``n_chunks`` candidate-chunk dispatches — materializing one value
+        of the LAST dispatch (the device stream is serial, so its
+        completion implies all priors completed; block_until_ready alone
+        can return before remote execution finishes on this backend).
+        This matches production, where PCIe staging (~1-2 ms/chunk) fully
+        overlaps with ~25 ms of compute.  ``with_staging`` includes the
+        host->device transfers, which on this dev tunnel cost ~100x PCIe
+        and serialize — reported for transparency, not representative of
+        TPU-host deployments.
         """
-        warm = scorer(refs_dev[0], jnp.asarray(chunks[0][0]))
+        warm = scorer(pre_fn(refs_dev[0]), jnp.asarray(chunks[0][0]))
         _ = [np.asarray(v) for v in warm.values()]
         best = best_staged = float("inf")
         for rep in range(reps):
@@ -149,11 +159,11 @@ def run_sweep_scenario(jax, jnp) -> dict:
                 for c in per_img
             ]
             t0 = time.perf_counter()
-            outs = [
-                scorer(refs_dev[i], devs[i * len(codecs) + c])
-                for i in range(SWEEP_IMAGES)
-                for c in range(len(codecs))
-            ]
+            outs = []
+            for i in range(SWEEP_IMAGES):
+                pre = pre_fn(refs_dev[i])
+                for c in range(n_chunks):
+                    outs.append(scorer(pre, devs[i * n_chunks + c]))
             _ = np.asarray(next(iter(outs[-1].values()))[0])
             t1 = time.perf_counter()
             best = min(best, t1 - t0)
@@ -161,8 +171,8 @@ def run_sweep_scenario(jax, jnp) -> dict:
         n = SWEEP_IMAGES * n_cand
         return n / best, n / best_staged
 
-    all_pps, all_staged_pps = timed_pairs_per_sec(scorer_all)
-    s2_pps, _ = timed_pairs_per_sec(scorer_s2)
+    all_pps, all_staged_pps = timed_pairs_per_sec(scorer_all, pre_all)
+    s2_pps, _ = timed_pairs_per_sec(scorer_s2, pre_s2)
 
     # End-to-end: host encode/decode overlapped with device scoring via a
     # producer pool + async dispatch (SURVEY.md §7 hard part #2).
@@ -173,10 +183,11 @@ def run_sweep_scenario(jax, jnp) -> dict:
             futures = [pool.submit(encode_image, r) for r in refs]
             for i, fut in enumerate(futures):
                 batch = fut.result()
-                for c in range(len(codecs)):
+                pre = pre_all(refs_dev[i])
+                for c in range(n_chunks):
                     outs.append(
                         scorer_all(
-                            refs_dev[i],
+                            pre,
                             jnp.asarray(batch[c * chunk : (c + 1) * chunk]),
                         )
                     )
@@ -191,7 +202,9 @@ def run_sweep_scenario(jax, jnp) -> dict:
     # equivalent ceiling is ~1/6 of that.
     flops = None
     try:
-        lowered = scorer_all.lower(refs_dev[0], jnp.asarray(chunks[0][0]))
+        lowered = scorer_all.lower(
+            pre_all(refs_dev[0]), jnp.asarray(chunks[0][0])
+        )
         analysis = lowered.compile().cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]

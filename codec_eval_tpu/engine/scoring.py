@@ -31,20 +31,114 @@ from ..kernels.dssim import (
     precompute_dssim_reference as _dssim_precompute,
 )
 from ..kernels.butteraugli import (
+    ButteraugliParams as _BaParams,
+    ButteraugliReference as _BaReference,
     butteraugli_batch as _butteraugli_batch,
     precompute_butteraugli_reference as _butteraugli_precompute,
 )
-from ..kernels.ssimulacra2 import ssimulacra2_batch as _ssimulacra2_batch
+from ..kernels.ssimulacra2 import (
+    precompute_reference as _s2_precompute,
+    ssimulacra2_batch_pre as _ssimulacra2_batch_pre,
+)
 from ..kernels.psnr import psnr as _psnr_kernel
 from ..metrics import MetricConfig, MetricResult
 
 
 def _bucket(n: int) -> int:
-    """Round batch size up to a small set of buckets to bound compilations."""
-    for b in (1, 2, 4, 8, 16, 32, 64, 128):
+    """Round batch size up to a small set of buckets to bound compilations.
+
+    25/50/75/100 are first-class buckets: they are the quality-preset sizes
+    (dense = 25 points; 4-codec x 25 = 100), and padding a dense sweep from
+    25 up to 32 would waste 28% of device compute.
+    """
+    for b in (1, 2, 4, 8, 16, 25, 32, 50, 64, 75, 100, 128):
         if n <= b:
             return b
     return ((n + 127) // 128) * 128
+
+
+@functools.lru_cache(maxsize=64)
+def _build_precompute(
+    height: int,
+    width: int,
+    dssim: bool,
+    ssimulacra2: bool,
+    butteraugli: bool,
+    xyb_roundtrip: bool,
+):
+    """Jitted per-image reference precompute: everything that depends only
+    on the reference (XYB-roundtrip staging, SSIM2/DSSIM pyramids + window
+    moments, Butteraugli psycho images + masking) runs ONCE per image, in
+    its own program, so multi-chunk sweeps don't redo it every dispatch.
+
+    Returns a plain array pytree (NamedTuples with static metadata are
+    reassembled inside the chunk scorer, where shapes are known statically).
+    """
+
+    def pre(ref_u8: jnp.ndarray):
+        if xyb_roundtrip:
+            ref_u8 = _xyb_roundtrip(ref_u8)
+        out: Dict[str, object] = {"ref_u8": ref_u8}
+        if dssim:
+            out["dssim"] = _dssim_precompute(_srgb_u8_to_linear(ref_u8))
+        if ssimulacra2:
+            out["s2"] = _s2_precompute(ref_u8)
+        if butteraugli:
+            bref = _butteraugli_precompute(ref_u8)
+            out["ba"] = (
+                bref.pi0_full, bref.pi0_sub, bref.mask_full, bref.mask_sub
+            )
+        return out
+
+    return jax.jit(pre)
+
+
+@functools.lru_cache(maxsize=64)
+def _build_chunk_scorer(
+    height: int,
+    width: int,
+    batch: int,
+    dssim: bool,
+    ssimulacra2: bool,
+    butteraugli: bool,
+    psnr: bool,
+):
+    """Jitted per-chunk scorer over a precomputed reference pytree."""
+
+    def score(pre, batch_u8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        ref_u8 = pre["ref_u8"]
+        out: Dict[str, jnp.ndarray] = {}
+        if psnr:
+            out["psnr"] = jax.vmap(lambda d: _psnr_kernel(ref_u8, d))(batch_u8)
+        if dssim:
+            dref = pre["dssim"]
+
+            def one_dssim(d):
+                val = _dssim_against(dref, _srgb_u8_to_linear(d))
+                return jnp.where(jnp.all(ref_u8 == d), jnp.zeros_like(val), val)
+
+            out["dssim"] = jax.vmap(one_dssim)(batch_u8)
+        if ssimulacra2:
+            out["ssimulacra2"] = _ssimulacra2_batch_pre(
+                pre["s2"], ref_u8, batch_u8
+            )
+        if butteraugli:
+            pi0_full, pi0_sub, mask_full, mask_sub = pre["ba"]
+            bref = _BaReference(
+                pi0_full=pi0_full,
+                pi0_sub=pi0_sub,
+                lin_sub_available=pi0_sub is not None,
+                params=_BaParams.default(),
+                shape=(height, width),
+                mask_full=mask_full,
+                mask_sub=mask_sub,
+            )
+            vals = _butteraugli_batch(bref, batch_u8)
+            identical = jax.vmap(lambda d: jnp.all(ref_u8 == d))(batch_u8)
+            out["butteraugli"] = jnp.where(identical, 0.0, vals)
+        return out
+
+    return jax.jit(score)
 
 
 @functools.lru_cache(maxsize=64)
@@ -58,44 +152,61 @@ def _build_scorer(
     psnr: bool,
     xyb_roundtrip: bool,
 ):
+    """One-shot (reference, batch) scorer: precompute + chunk score fused
+    into a single program.  Sweeps that dispatch several chunks against the
+    same reference should use ``_build_precompute`` + ``_build_chunk_scorer``
+    instead to amortize the reference-side work."""
+    pre = _build_precompute(
+        height, width, dssim, ssimulacra2, butteraugli, xyb_roundtrip
+    )
+    chunk = _build_chunk_scorer(
+        height, width, batch, dssim, ssimulacra2, butteraugli, psnr
+    )
+
     def score(ref_u8: jnp.ndarray, batch_u8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        if xyb_roundtrip:
-            ref_u8 = _xyb_roundtrip(ref_u8)
-        out: Dict[str, jnp.ndarray] = {}
-        if psnr:
-            out["psnr"] = jax.vmap(lambda d: _psnr_kernel(ref_u8, d))(batch_u8)
-        if dssim:
-            # Reference Lab pyramid + moments computed once, broadcast over
-            # the candidate batch (exact-zero identity guarantee preserved
-            # via the byte-equality select).
-            dref = _dssim_precompute(_srgb_u8_to_linear(ref_u8))
-
-            def one_dssim(d):
-                val = _dssim_against(dref, _srgb_u8_to_linear(d))
-                return jnp.where(jnp.all(ref_u8 == d), jnp.zeros_like(val), val)
-
-            out["dssim"] = jax.vmap(one_dssim)(batch_u8)
-        if ssimulacra2:
-            out["ssimulacra2"] = _ssimulacra2_batch(ref_u8, batch_u8)
-        if butteraugli:
-            bref = _butteraugli_precompute(ref_u8)
-            vals = _butteraugli_batch(bref, batch_u8)
-            identical = jax.vmap(lambda d: jnp.all(ref_u8 == d))(batch_u8)
-            out["butteraugli"] = jnp.where(identical, 0.0, vals)
-        return out
+        return chunk(pre(ref_u8), batch_u8)
 
     return jax.jit(score)
 
 
 class BatchScorer:
-    """Scores batches of decoded candidates against a reference image."""
+    """Scores batches of decoded candidates against a reference image.
+
+    The reference-side work (pyramids, window moments, psycho images,
+    masking) runs as its own jitted program, cached per reference array
+    identity — consecutive chunks against the same reference (quality
+    sweeps, multi-codec ladders) skip it entirely.
+    """
 
     def __init__(self, config: MetricConfig):
         self.config = config
+        self._ref_key: object = None
+        self._ref_pre = None
+        # Strong reference to the cached key array: guarantees its id()
+        # cannot be recycled while the cache entry is alive.
+        self._ref_array: object = None
 
     def enabled(self) -> bool:
         c = self.config
         return c.dssim or c.ssimulacra2 or c.butteraugli or c.psnr
+
+    def _precomputed(self, reference_u8: np.ndarray):
+        """Per-image reference precompute, cached by array identity."""
+        key = (
+            id(reference_u8),
+            reference_u8.shape,
+            self.config,
+        )
+        if self._ref_key != key:
+            c = self.config
+            h, w = reference_u8.shape[:2]
+            pre_fn = _build_precompute(
+                h, w, c.dssim, c.ssimulacra2, c.butteraugli, c.xyb_roundtrip
+            )
+            self._ref_pre = pre_fn(jnp.asarray(reference_u8))
+            self._ref_key = key
+            self._ref_array = reference_u8
+        return self._ref_pre
 
     def score_batch(
         self, reference_u8: np.ndarray, candidates_u8: np.ndarray
@@ -111,11 +222,10 @@ class BatchScorer:
             candidates_u8 = np.concatenate([candidates_u8, pad], axis=0)
 
         c = self.config
-        scorer = _build_scorer(
-            h, w, padded_n, c.dssim, c.ssimulacra2, c.butteraugli, c.psnr,
-            c.xyb_roundtrip,
+        scorer = _build_chunk_scorer(
+            h, w, padded_n, c.dssim, c.ssimulacra2, c.butteraugli, c.psnr
         )
-        raw = scorer(jnp.asarray(reference_u8), jnp.asarray(candidates_u8))
+        raw = scorer(self._precomputed(reference_u8), jnp.asarray(candidates_u8))
         raw = {k: np.asarray(v, dtype=np.float64) for k, v in raw.items()}
 
         results = []

@@ -868,6 +868,16 @@ class ButteraugliReference(NamedTuple):
     lin_sub_available: bool
     params: ButteraugliParams
     shape: Tuple[int, int]
+    # Candidate-independent masking pieces (b0, MaskY, MaskDcY) per
+    # resolution — derived from the reference only, so sweeps reuse them
+    # across every candidate AND every dispatch.
+    mask_full: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None
+    mask_sub: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None
+
+
+def _mask_pre_of(pi0: PsychoImage):
+    b0, mask = _mask_reference_side(pi0)
+    return (b0, _mask_y(mask), _mask_dc_y(mask))
 
 
 def precompute_butteraugli_reference(
@@ -891,6 +901,8 @@ def precompute_butteraugli_reference(
         lin_sub_available=pi0_sub is not None,
         params=params,
         shape=(h, w),
+        mask_full=_mask_pre_of(pi0_full) if h >= 8 and w >= 8 else None,
+        mask_sub=_mask_pre_of(pi0_sub) if pi0_sub is not None else None,
     )
 
 
@@ -908,10 +920,16 @@ def butteraugli_distmap_against(
     it = jnp.float32(params.intensity_target)
     lin1 = jnp.moveaxis(srgb_u8_to_linear(dist_u8), -1, 0)
     pi1 = _separate_frequencies(_opsin_dynamics(lin1 * it))
-    result = _diffmap_psycho(ref.pi0_full, pi1, params.hf_asymmetry, params.xmul)
+    result = _diffmap_psycho(
+        ref.pi0_full, pi1, params.hf_asymmetry, params.xmul,
+        mask_pre=ref.mask_full,
+    )
     if ref.pi0_sub is not None:
         pi1s = _separate_frequencies(_opsin_dynamics(_subsample2x(lin1) * it))
-        sub = _diffmap_psycho(ref.pi0_sub, pi1s, params.hf_asymmetry, params.xmul)
+        sub = _diffmap_psycho(
+            ref.pi0_sub, pi1s, params.hf_asymmetry, params.xmul,
+            mask_pre=ref.mask_sub,
+        )
         result = _add_supersampled2x(result, sub)
     return result
 
@@ -993,22 +1011,21 @@ def butteraugli_batch(
         return jnp.zeros((n,), jnp.float32)
     it = jnp.float32(params.intensity_target)
 
-    def stage(pi0, sub):
-        lin = jax.vmap(lambda d: jnp.moveaxis(srgb_u8_to_linear(d), -1, 0))(
-            batch_u8
-        )
-        if sub:
-            lin = jax.vmap(_subsample2x)(lin)
+    lin_full = jax.vmap(lambda d: jnp.moveaxis(srgb_u8_to_linear(d), -1, 0))(
+        batch_u8
+    )
+
+    def stage(pi0, lin):
         pi1 = _psycho_batch(lin * it)
         stacks = jax.vmap(
             lambda p1: _malta_diffs_stack(pi0, p1, params.hf_asymmetry)
         )(pi1)
         return pi1, stacks
 
-    def resolve(pi0, pi1_batch, stacks):
+    def resolve(pi0, pi1_batch, stacks, mask_pre):
         ac = _malta_ac_batch(stacks)
-        b0, mask = _mask_reference_side(pi0)
-        mask_pre = (b0, _mask_y(mask), _mask_dc_y(mask))
+        if mask_pre is None:
+            mask_pre = _mask_pre_of(pi0)
         return jax.vmap(
             lambda pi1, a: _diffmap_psycho(
                 pi0, pi1, params.hf_asymmetry, params.xmul,
@@ -1016,10 +1033,10 @@ def butteraugli_batch(
             )
         )(pi1_batch, ac)
 
-    pi1f, stacks_f = stage(ref.pi0_full, False)
-    result = resolve(ref.pi0_full, pi1f, stacks_f)
+    pi1f, stacks_f = stage(ref.pi0_full, lin_full)
+    result = resolve(ref.pi0_full, pi1f, stacks_f, ref.mask_full)
     if ref.pi0_sub is not None:
-        pi1s, stacks_s = stage(ref.pi0_sub, True)
-        sub = resolve(ref.pi0_sub, pi1s, stacks_s)
+        pi1s, stacks_s = stage(ref.pi0_sub, jax.vmap(_subsample2x)(lin_full))
+        sub = resolve(ref.pi0_sub, pi1s, stacks_s, ref.mask_sub)
         result = jax.vmap(_add_supersampled2x)(result, sub)
     return jnp.max(result, axis=(-2, -1))

@@ -211,9 +211,19 @@ def ssimulacra2_batch(ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray) -> jnp.nd
     The reference precompute is shared across the batch — the TPU analog of
     reusing ``Ssimulacra2Reference`` across a quality sweep.
     """
+    return ssimulacra2_batch_pre(
+        precompute_reference(ref_u8), ref_u8, dist_batch_u8
+    )
+
+
+def ssimulacra2_batch_pre(
+    ref: Ssimulacra2Reference, ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray
+) -> jnp.ndarray:
+    """Like ``ssimulacra2_batch`` but with the reference pyramid already
+    computed — sweeps precompute it once per image (in its own program) and
+    amortize it across every candidate chunk dispatch."""
     if _use_pallas_batch():
-        return _ssimulacra2_batch_pallas(ref_u8, dist_batch_u8)
-    ref = precompute_reference(ref_u8)
+        return _ssimulacra2_batch_pallas(ref, ref_u8, dist_batch_u8)
 
     def one(d):
         score = score_from_features(features_against_reference(ref, d))
@@ -224,14 +234,12 @@ def ssimulacra2_batch(ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray) -> jnp.nd
 
 
 def _ssimulacra2_batch_pallas(
-    ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray
+    ref: Ssimulacra2Reference, ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray
 ) -> jnp.ndarray:
     """Batched sweep through the fused Pallas per-scale kernel: one kernel
     launch per scale covers the whole candidate batch, with the reference
     slab resident across candidates."""
     from .pallas.scale_features import scale_features_pallas_batch
-
-    ref = precompute_reference(ref_u8)
     linear = jax.vmap(lambda d: jnp.moveaxis(srgb_u8_to_linear(d), -1, 0))(
         dist_batch_u8
     )

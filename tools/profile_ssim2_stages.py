@@ -70,7 +70,8 @@ def main() -> None:
         return outs
 
     def p_full(b):
-        return s2._ssimulacra2_batch_pallas(jnp.asarray(ref), b)
+        r = jnp.asarray(ref)
+        return s2._ssimulacra2_batch_pallas(s2.precompute_reference(r), r, b)
 
     def p_feats_only(b):
         # features kernel with scale-0 xyb reused at every scale shape:
