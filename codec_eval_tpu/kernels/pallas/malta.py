@@ -111,8 +111,15 @@ def malta_ac_batch_pallas(
 
     # Row tile: multiples of 8, sized so the per-step VMEM footprint
     # (shifted copies + in/out blocks + live line sums) stays well under
-    # the 16 MB scoped budget.
-    tile = 128
+    # the 16 MB scoped budget.  Measured at 512px/50 candidates (BA-only
+    # chunk slope, tools/experiment_malta_tile.py): 48 -> 27.4 ms,
+    # 64 -> 27.6, 32 -> 27.9, 96 -> 28.5, 128 -> 29.5 — same small-tile
+    # sweet spot as the bands kernel.  CODEC_EVAL_MALTA_TILE overrides
+    # for A/B tuning.
+    import os
+
+    forced = int(os.environ.get("CODEC_EVAL_MALTA_TILE", "0"))
+    tile = forced if forced > 0 else 48
     while tile > 8 and (2 * r + 13) * (tile + 2 * r) * wp * 4 > 8 * 1024 * 1024:
         tile //= 2
     tile = min(tile, ((h + 7) // 8) * 8)
