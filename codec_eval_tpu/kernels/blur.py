@@ -162,6 +162,33 @@ def _blur_conv(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return x[:, 0, :, :]
 
 
+#: 2x2 downscale implementation: "auto" (matmul column-pair averaging on
+#: TPU, reshape-mean elsewhere), or force "matmul" / "reshape".  The
+#: lane-dim pairwise mean in the reshape formulation lowers to expensive
+#: shuffles on TPU: the 5-step 512px/25-candidate pyramid measured 1.42 ms
+#: reshape vs 0.85 ms matmul (tools/experiment_downscale.py).
+DOWNSCALE_IMPL = os.environ.get("CODEC_EVAL_DOWNSCALE_IMPL", "auto")
+
+
+@functools.lru_cache(maxsize=None)
+def pair_mean_matrix(n2: int) -> np.ndarray:
+    """(2*n2, n2) column-pair averaging operator: out[:, j] = mean of
+    columns 2j, 2j+1.  Rides the MXU; exact at HIGHEST precision (0.5 is
+    exact in bf16, so the 6-pass split reconstructs f32 products)."""
+    a = np.zeros((2 * n2, n2), np.float32)
+    idx = np.arange(n2)
+    a[2 * idx, idx] = 0.5
+    a[2 * idx + 1, idx] = 0.5
+    return a
+
+
+def _use_matmul_downscale() -> bool:
+    impl = DOWNSCALE_IMPL
+    if impl == "auto":
+        return jax.default_backend() in ("tpu", "axon")
+    return impl == "matmul"
+
+
 def downscale_by_2(planes: jnp.ndarray) -> jnp.ndarray:
     """2x2 box downscale with edge-clamped odd borders, on ``(C, H, W)``.
 
@@ -174,6 +201,10 @@ def downscale_by_2(planes: jnp.ndarray) -> jnp.ndarray:
     if ph or pw:
         planes = jnp.pad(planes, ((0, 0), (0, ph), (0, pw)), mode="edge")
     _, h2, w2 = planes.shape
+    if _use_matmul_downscale():
+        a = jnp.asarray(pair_mean_matrix(w2 // 2))
+        cols = jnp.matmul(planes, a, precision=jax.lax.Precision.HIGHEST)
+        return cols.reshape(c, h2 // 2, 2, w2 // 2).mean(axis=2)
     return (
         planes.reshape(c, h2 // 2, 2, w2 // 2, 2).mean(axis=(2, 4))
     )

@@ -758,11 +758,22 @@ def _diffmap_psycho(
 
 def _subsample2x(planes: jnp.ndarray) -> jnp.ndarray:
     """(..., H, W) -> (..., ceil(H/2), ceil(W/2)); mean of available samples."""
+    from .blur import _use_matmul_downscale, pair_mean_matrix
+
     h, w = planes.shape[-2], planes.shape[-1]
     ph, pw = (h + 1) // 2 * 2, (w + 1) // 2 * 2
     p = jnp.pad(planes, [(0, 0)] * (planes.ndim - 2) + [(0, ph - h), (0, pw - w)])
-    p = p.reshape(planes.shape[:-2] + (ph // 2, 2, pw // 2, 2))
-    out = 0.25 * p.sum(axis=(-3, -1))
+    if _use_matmul_downscale():
+        # Lane-dim pairwise means lower to shuffles on TPU; the column-pair
+        # averaging matmul rides the MXU instead (see kernels/blur.py).
+        a = jnp.asarray(pair_mean_matrix(pw // 2))
+        cols = jnp.matmul(p, a, precision=_HIGHEST)
+        out = cols.reshape(planes.shape[:-2] + (ph // 2, 2, pw // 2)).mean(
+            axis=-2
+        )
+    else:
+        p = p.reshape(planes.shape[:-2] + (ph // 2, 2, pw // 2, 2))
+        out = 0.25 * p.sum(axis=(-3, -1))
     if h % 2:
         out = out.at[..., -1, :].multiply(2.0)
     if w % 2:
@@ -771,8 +782,17 @@ def _subsample2x(planes: jnp.ndarray) -> jnp.ndarray:
 
 
 def _add_supersampled2x(result: jnp.ndarray, sub: jnp.ndarray) -> jnp.ndarray:
+    from .blur import _use_matmul_downscale, pair_mean_matrix
+
     h, w = result.shape
-    up = jnp.repeat(jnp.repeat(sub, 2, axis=0), 2, axis=1)[:h, :w]
+    if _use_matmul_downscale():
+        # Lane-dim repeat lowers to shuffles on TPU; column replication is
+        # the transpose of the pair-mean operator (x2), on the MXU.
+        rep = jnp.asarray(2.0 * pair_mean_matrix(sub.shape[1]).T)
+        up = jnp.repeat(sub, 2, axis=0)[:h]
+        up = jnp.matmul(up, rep, precision=_HIGHEST)[:, :w]
+    else:
+        up = jnp.repeat(jnp.repeat(sub, 2, axis=0), 2, axis=1)[:h, :w]
     return result * _SUPERSAMPLE_KEEP + _SUPERSAMPLE_W * up
 
 
