@@ -107,11 +107,14 @@ def run_sweep_scenario(jax, jnp) -> dict:
         cand_batches = list(pool.map(encode_image, refs))
 
     # The reference-side work (pyramids, psycho images, masking) runs once
-    # per image in its own program; candidates are scored in chunks of 50
-    # (two dispatches cover the 4-codec x 25-quality grid with no padding;
-    # measured sweet spot — chunk 100 compiles but loses ~9% to HBM
-    # pressure, chunk 25 loses ~8% to per-dispatch fixed cost).
-    chunk = 50
+    # per image in its own program; candidates are scored in chunks of 25
+    # (four dispatches cover the 4-codec x 25-quality grid with no padding).
+    # Chunk 25 has the lowest marginal per-pair cost since the MXU matmul
+    # downscale (0.76 vs 0.82 ms/pair at 50; bench A/B 1205 vs 1114 pairs/s);
+    # chunk 100 loses further to HBM pressure, and folding the whole sweep
+    # into one scanned dispatch measures a wash (tools/experiment_scan_sweep
+    # .py) — dispatches pipeline, so fewer of them buys nothing.
+    chunk = int(__import__("os").environ.get("CODEC_EVAL_BENCH_CHUNK", "25"))
     n_chunks = n_cand // chunk
     scorer_all = _build_chunk_scorer(
         SWEEP_SIZE, SWEEP_SIZE, chunk, True, True, True, True

@@ -169,6 +169,54 @@ def _build_scorer(
     return jax.jit(score)
 
 
+@functools.lru_cache(maxsize=64)
+def _build_sweep_scorer(
+    height: int,
+    width: int,
+    n_cand: int,
+    chunk: int,
+    dssim: bool,
+    ssimulacra2: bool,
+    butteraugli: bool,
+    psnr: bool,
+    xyb_roundtrip: bool,
+):
+    """Whole-sweep scorer: ONE dispatch per image = reference precompute +
+    ``lax.scan`` over chunk-sized candidate slices.
+
+    Motivation (tools/experiment_chunk100.py, ROADMAP): per-pair kernel cost
+    is lowest at chunk ~25, but a dense 4-codec x 25-quality sweep then pays
+    4 chunk dispatches + 1 precompute dispatch per image (~4 ms fixed each
+    on the tunneled backend).  A flat batch-100 program loses that saving to
+    HBM pressure; the scan keeps the chunk-25 working set while paying the
+    dispatch cost once.
+    """
+    if n_cand % chunk:
+        raise ValueError(f"n_cand {n_cand} not a multiple of chunk {chunk}")
+    pre_fn = _build_precompute(
+        height, width, dssim, ssimulacra2, butteraugli, xyb_roundtrip
+    )
+    chunk_fn = _build_chunk_scorer(
+        height, width, chunk, dssim, ssimulacra2, butteraugli, psnr
+    )
+
+    def score(
+        ref_u8: jnp.ndarray, cands_u8: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        pre = pre_fn(ref_u8)
+        slices = cands_u8.reshape(
+            n_cand // chunk, chunk, height, width, cands_u8.shape[-1]
+        )
+
+        def body(carry, ck):
+            return carry, chunk_fn(pre, ck)
+
+        _, outs = jax.lax.scan(body, None, slices)
+        return {k: v.reshape(n_cand) for k, v in outs.items()}
+
+    return jax.jit(score)
+
+
 class BatchScorer:
     """Scores batches of decoded candidates against a reference image.
 

@@ -235,3 +235,50 @@ def test_calculate_entry_points():
 
     with pytest.raises(DimensionMismatch):
         calculate_psnr(img, _image(12, 12))
+
+
+def test_sweep_scorer_matches_chunked():
+    """_build_sweep_scorer (one dispatch: precompute + lax.scan over chunk
+    slices) must reproduce the split precompute + per-chunk pipeline to
+    f32 rounding (XLA may fuse differently across the two program shapes,
+    so bit-exactness is not guaranteed); also validates n_cand % chunk
+    enforcement."""
+    import jax.numpy as jnp
+
+    from codec_eval_tpu.engine.scoring import (
+        _build_chunk_scorer,
+        _build_precompute,
+        _build_sweep_scorer,
+    )
+
+    h = w = 40
+    rng = np.random.default_rng(3)
+    ref = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    cands = np.clip(
+        ref.astype(np.int16) + rng.integers(-12, 13, (8,) + ref.shape),
+        0,
+        255,
+    ).astype(np.uint8)
+
+    sweep = _build_sweep_scorer(h, w, 8, 4, True, True, True, True, False)
+    got = {k: np.asarray(v) for k, v in sweep(
+        jnp.asarray(ref), jnp.asarray(cands)
+    ).items()}
+
+    pre = _build_precompute(h, w, True, True, True, False)(jnp.asarray(ref))
+    chunked = _build_chunk_scorer(h, w, 4, True, True, True, True)
+    want = {}
+    for c in range(2):
+        out = chunked(pre, jnp.asarray(cands[c * 4 : (c + 1) * 4]))
+        for k, v in out.items():
+            want.setdefault(k, []).append(np.asarray(v))
+    want = {k: np.concatenate(v) for k, v in want.items()}
+
+    assert set(got) == {"psnr", "dssim", "ssimulacra2", "butteraugli"}
+    for k in got:
+        np.testing.assert_allclose(
+            got[k], want[k], rtol=1e-5, atol=1e-6, err_msg=k
+        )
+
+    with pytest.raises(ValueError):
+        _build_sweep_scorer(h, w, 10, 4, True, True, True, True, False)
