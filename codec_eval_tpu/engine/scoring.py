@@ -79,12 +79,19 @@ def _build_precompute(
         if xyb_roundtrip:
             ref_u8 = _xyb_roundtrip(ref_u8)
         out: Dict[str, object] = {"ref_u8": ref_u8}
+        # One shared (3, H, W) linear staging pass for all metrics (the
+        # same cross-subgraph CSE gap as in the chunk scorer).
+        lin = None
+        if dssim + ssimulacra2 + butteraugli >= 2:
+            lin = jnp.moveaxis(_srgb_u8_to_linear(ref_u8), -1, 0)
         if dssim:
-            out["dssim"] = _dssim_precompute(_srgb_u8_to_linear(ref_u8))
+            out["dssim"] = _dssim_precompute(
+                lin if lin is not None else _srgb_u8_to_linear(ref_u8)
+            )
         if ssimulacra2:
-            out["s2"] = _s2_precompute(ref_u8)
+            out["s2"] = _s2_precompute(ref_u8, lin_planar=lin)
         if butteraugli:
-            bref = _butteraugli_precompute(ref_u8)
+            bref = _butteraugli_precompute(ref_u8, lin_planar=lin)
             out["ba"] = (
                 bref.pi0_full, bref.pi0_sub, bref.mask_full, bref.mask_sub
             )
@@ -102,25 +109,40 @@ def _build_chunk_scorer(
     ssimulacra2: bool,
     butteraugli: bool,
     psnr: bool,
+    share_staging: bool = True,
 ):
     """Jitted per-chunk scorer over a precomputed reference pytree."""
 
     def score(pre, batch_u8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         ref_u8 = pre["ref_u8"]
         out: Dict[str, jnp.ndarray] = {}
+        # Stage the candidates' (N, 3, H, W) linear RGB once and hand it to
+        # every metric that needs it: the per-metric conversions are
+        # bit-identical expressions, but XLA does not reliably CSE them
+        # across the metric subgraphs in the big fused program.
+        lin = None
+        if share_staging and dssim + ssimulacra2 + butteraugli >= 2:
+            lin = jax.vmap(
+                lambda d: jnp.moveaxis(_srgb_u8_to_linear(d), -1, 0)
+            )(batch_u8)
         if psnr:
             out["psnr"] = jax.vmap(lambda d: _psnr_kernel(ref_u8, d))(batch_u8)
         if dssim:
             dref = pre["dssim"]
 
-            def one_dssim(d):
-                val = _dssim_against(dref, _srgb_u8_to_linear(d))
+            def one_dssim(d, l):
+                val = _dssim_against(
+                    dref, l if l is not None else _srgb_u8_to_linear(d)
+                )
                 return jnp.where(jnp.all(ref_u8 == d), jnp.zeros_like(val), val)
 
-            out["dssim"] = jax.vmap(one_dssim)(batch_u8)
+            if lin is None:
+                out["dssim"] = jax.vmap(lambda d: one_dssim(d, None))(batch_u8)
+            else:
+                out["dssim"] = jax.vmap(one_dssim)(batch_u8, lin)
         if ssimulacra2:
             out["ssimulacra2"] = _ssimulacra2_batch_pre(
-                pre["s2"], ref_u8, batch_u8
+                pre["s2"], ref_u8, batch_u8, lin_planar=lin
             )
         if butteraugli:
             pi0_full, pi0_sub, mask_full, mask_sub = pre["ba"]
@@ -133,7 +155,7 @@ def _build_chunk_scorer(
                 mask_full=mask_full,
                 mask_sub=mask_sub,
             )
-            vals = _butteraugli_batch(bref, batch_u8)
+            vals = _butteraugli_batch(bref, batch_u8, lin_full=lin)
             identical = jax.vmap(lambda d: jnp.all(ref_u8 == d))(batch_u8)
             out["butteraugli"] = jnp.where(identical, 0.0, vals)
         return out

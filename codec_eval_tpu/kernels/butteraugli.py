@@ -904,10 +904,15 @@ def precompute_butteraugli_reference(
     ref_u8: jnp.ndarray,
     intensity_target: float = 80.0,
     params: Optional[ButteraugliParams] = None,
+    lin_planar: Optional[jnp.ndarray] = None,
 ) -> ButteraugliReference:
     if params is None:
         params = ButteraugliParams(intensity_target=intensity_target)
-    lin0 = jnp.moveaxis(srgb_u8_to_linear(ref_u8), -1, 0)
+    lin0 = (
+        lin_planar
+        if lin_planar is not None
+        else jnp.moveaxis(srgb_u8_to_linear(ref_u8), -1, 0)
+    )
     h, w = lin0.shape[-2], lin0.shape[-1]
     it = jnp.float32(params.intensity_target)
     pi0_full = _separate_frequencies(_opsin_dynamics(lin0 * it))
@@ -1015,6 +1020,7 @@ def butteraugli_batch(
     ref: ButteraugliReference,
     batch_u8: jnp.ndarray,
     hf_asymmetry: float = 0.8,
+    lin_full: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Scores for a (N, H, W, 3) u8 candidate batch vs one precomputed
     reference — the sweep-scoring hot path.
@@ -1023,6 +1029,10 @@ def butteraugli_batch(
     Malta directional sweeps of the whole batch run as one fused Pallas
     kernel per resolution (on TPU), instead of ~800 XLA slice ops that the
     big batched program fails to fuse.
+
+    ``lin_full`` optionally supplies the candidates' (N, 3, H, W) linear RGB
+    (exactly ``vmap(moveaxis(srgb_u8_to_linear))`` of the batch) so the
+    all-metric scorer stages it once for every metric.
     """
     params = ref.params._replace(hf_asymmetry=hf_asymmetry)
     h, w = ref.shape
@@ -1031,9 +1041,10 @@ def butteraugli_batch(
         return jnp.zeros((n,), jnp.float32)
     it = jnp.float32(params.intensity_target)
 
-    lin_full = jax.vmap(lambda d: jnp.moveaxis(srgb_u8_to_linear(d), -1, 0))(
-        batch_u8
-    )
+    if lin_full is None:
+        lin_full = jax.vmap(
+            lambda d: jnp.moveaxis(srgb_u8_to_linear(d), -1, 0)
+        )(batch_u8)
 
     def stage(pi0, lin):
         pi1 = _psycho_batch(lin * it)

@@ -59,13 +59,33 @@ def _sweep_shifted(shifted, lines, tile: int):
 
 
 def _malta_kernel(
-    slab_ref, out_ref, shifted, *, tile, wp, lines_full, lines_lf
+    slab_ref, out_ref, shifted, *, tile, wp, w, lines_full, lines_lf, halo
 ):
     ch = pl.program_id(2)
 
-    # One lane rotation per dx; all line samples below are sublane slices.
-    for dx in range(2 * _RADIUS + 1):
-        shifted[dx] = slab_ref[0, 0, 0, :, dx : dx + wp]
+    r = _RADIUS
+    if halo == "slab":
+        # One lane rotation per dx; all line samples below are sublane
+        # slices.  The input block carries an explicit lane halo, padded up
+        # to the next multiple of 128 (wp_in > wp).
+        for dx in range(2 * r + 1):
+            shifted[dx] = slab_ref[0, 0, 0, :, dx : dx + wp]
+    else:
+        # "roll": the input block is exactly wp lanes (image at lane 0, no
+        # lane halo).  Each dx shift is a lane rotation with wraparound;
+        # wrapped lanes must read as the zero padding the sweep semantics
+        # require, so they are masked off unless the zero-pad columns
+        # (w..wp) already cover the wrap distance.
+        slab = slab_ref[0, 0, 0]
+        rows = slab.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, wp), 1)
+        for dx in range(2 * r + 1):
+            rolled = pltpu.roll(slab, (r - dx) % wp, 1)
+            if dx < r and w > wp - (r - dx):
+                rolled = jnp.where(lane >= (r - dx), rolled, 0.0)
+            elif dx > r and w > wp - (dx - r):
+                rolled = jnp.where(lane < wp - (dx - r), rolled, 0.0)
+            shifted[dx] = rolled
 
     @pl.when(ch == 0)
     def _():
@@ -90,10 +110,14 @@ def _malta_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lines_full", "lines_lf", "interpret")
+    jax.jit, static_argnames=("lines_full", "lines_lf", "interpret", "halo")
 )
 def malta_ac_batch_pallas(
-    diffs: jnp.ndarray, lines_full, lines_lf, interpret: bool = False
+    diffs: jnp.ndarray,
+    lines_full,
+    lines_lf,
+    interpret: bool = False,
+    halo: str | None = None,
 ) -> jnp.ndarray:
     """(B, 6, H, W) diff planes -> (B, 2, H, W) Malta accumulators.
 
@@ -104,10 +128,19 @@ def malta_ac_batch_pallas(
     assert c == 6, diffs.shape
     r = _RADIUS
 
-    # Output width is lane-aligned; slabs must cover it plus the sweep halo
-    # on both sides so every in-kernel slice is in range.
+    import os
+
+    # Lane-halo strategy: "roll" (default) keeps the input block exactly wp
+    # lanes wide and realizes the dx shifts as in-kernel lane rotations with
+    # wrap masking; "slab" pads an explicit lane halo, which 128-alignment
+    # inflates to wp_in (640 for 512px, +25% input DMA; 384 for 256px, +50%).
+    if halo is None:
+        halo = os.environ.get("CODEC_EVAL_MALTA_HALO", "roll")
+
+    # Output width is lane-aligned; under "slab" staging the input must also
+    # cover the sweep halo on both sides so every in-kernel slice is in range.
     wp = ((w + 127) // 128) * 128
-    wp_in = ((wp + 2 * r + 127) // 128) * 128
+    wp_in = wp if halo == "roll" else ((wp + 2 * r + 127) // 128) * 128
 
     # Row tile: multiples of 8, sized so the per-step VMEM footprint
     # (shifted copies + in/out blocks + live line sums) stays well under
@@ -116,8 +149,6 @@ def malta_ac_batch_pallas(
     # 64 -> 27.6, 32 -> 27.9, 96 -> 28.5, 128 -> 29.5 — same small-tile
     # sweet spot as the bands kernel.  CODEC_EVAL_MALTA_TILE overrides
     # for A/B tuning.
-    import os
-
     forced = int(os.environ.get("CODEC_EVAL_MALTA_TILE", "0"))
     tile = forced if forced > 0 else 48
     while tile > 8 and (2 * r + 13) * (tile + 2 * r) * wp * 4 > 8 * 1024 * 1024:
@@ -129,7 +160,9 @@ def malta_ac_batch_pallas(
 
     # Zero-pad (halo + alignment), then restage as overlapping row slabs
     # (B, 6, nt, slab_rows, wp_in) so the grid reads non-overlapping blocks.
-    pad = ((0, 0), (0, 0), (r, (hp - h) + r), (r, wp_in - w - r))
+    # Under "roll" the image sits at lane 0 (no lane halo).
+    lane_pad = (0, wp - w) if halo == "roll" else (r, wp_in - w - r)
+    pad = ((0, 0), (0, 0), (r, (hp - h) + r), lane_pad)
     diffs_p = jnp.pad(diffs, pad)
     slabs = jnp.stack(
         [diffs_p[:, :, i * tile : i * tile + slab_rows, :] for i in range(nt)],
@@ -140,8 +173,10 @@ def malta_ac_batch_pallas(
         _malta_kernel,
         tile=tile,
         wp=wp,
+        w=w,
         lines_full=lines_full,
         lines_lf=lines_lf,
+        halo=halo,
     )
     out = pl.pallas_call(
         kernel,

@@ -66,9 +66,16 @@ class Ssimulacra2Reference(NamedTuple):
     sqblur: tuple  # per scale: blur(xyb*xyb)
 
 
-def precompute_reference(ref_u8: jnp.ndarray) -> Ssimulacra2Reference:
-    """ref_u8: (H, W, 3) uint8 sRGB."""
-    linear = jnp.moveaxis(srgb_u8_to_linear(ref_u8), -1, 0)  # (3, H, W)
+def precompute_reference(
+    ref_u8: jnp.ndarray, lin_planar: jnp.ndarray | None = None
+) -> Ssimulacra2Reference:
+    """ref_u8: (H, W, 3) uint8 sRGB.  ``lin_planar`` optionally supplies its
+    (3, H, W) linear RGB so callers can share one staging pass."""
+    linear = (
+        lin_planar
+        if lin_planar is not None
+        else jnp.moveaxis(srgb_u8_to_linear(ref_u8), -1, 0)
+    )  # (3, H, W)
     xybs, mus, sqs = [], [], []
     for scale in range(NUM_SCALES):
         if scale:
@@ -162,7 +169,17 @@ def features_against_reference(
     Returns features ordered channel-major: (3, 6, 2, 3) -> flat (108,)
     matching the public weight-vector indexing.
     """
-    linear = jnp.moveaxis(srgb_u8_to_linear(dist_u8), -1, 0)
+    return features_from_linear(
+        ref, jnp.moveaxis(srgb_u8_to_linear(dist_u8), -1, 0)
+    )
+
+
+def features_from_linear(
+    ref: Ssimulacra2Reference, linear: jnp.ndarray
+) -> jnp.ndarray:
+    """Like ``features_against_reference`` but from (3, H, W) linear RGB —
+    lets the all-metric scorer share one sRGB->linear staging pass across
+    metrics instead of reconverting per metric."""
     per_scale = []
     for scale in range(NUM_SCALES):
         if scale:
@@ -217,31 +234,53 @@ def ssimulacra2_batch(ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray) -> jnp.nd
 
 
 def ssimulacra2_batch_pre(
-    ref: Ssimulacra2Reference, ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray
+    ref: Ssimulacra2Reference,
+    ref_u8: jnp.ndarray,
+    dist_batch_u8: jnp.ndarray,
+    lin_planar: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Like ``ssimulacra2_batch`` but with the reference pyramid already
     computed — sweeps precompute it once per image (in its own program) and
-    amortize it across every candidate chunk dispatch."""
-    if _use_pallas_batch():
-        return _ssimulacra2_batch_pallas(ref, ref_u8, dist_batch_u8)
+    amortize it across every candidate chunk dispatch.
 
-    def one(d):
-        score = score_from_features(features_against_reference(ref, d))
+    ``lin_planar`` optionally supplies the candidates' (N, 3, H, W) linear
+    RGB (exactly ``vmap(moveaxis(srgb_u8_to_linear))`` of the batch) so the
+    all-metric scorer stages it once for every metric.
+    """
+    if _use_pallas_batch():
+        return _ssimulacra2_batch_pallas(ref, ref_u8, dist_batch_u8, lin_planar)
+
+    def one(d, lin):
+        feats = (
+            features_from_linear(ref, lin)
+            if lin is not None
+            else features_against_reference(ref, d)
+        )
+        score = score_from_features(feats)
         identical = jnp.all(ref_u8 == d)
         return jnp.where(identical, jnp.asarray(100.0, score.dtype), score)
 
-    return jax.vmap(one)(dist_batch_u8)
+    if lin_planar is None:
+        return jax.vmap(lambda d: one(d, None))(dist_batch_u8)
+    return jax.vmap(one)(dist_batch_u8, lin_planar)
 
 
 def _ssimulacra2_batch_pallas(
-    ref: Ssimulacra2Reference, ref_u8: jnp.ndarray, dist_batch_u8: jnp.ndarray
+    ref: Ssimulacra2Reference,
+    ref_u8: jnp.ndarray,
+    dist_batch_u8: jnp.ndarray,
+    lin_planar: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Batched sweep through the fused Pallas per-scale kernel: one kernel
     launch per scale covers the whole candidate batch, with the reference
     slab resident across candidates."""
     from .pallas.scale_features import scale_features_pallas_batch
-    linear = jax.vmap(lambda d: jnp.moveaxis(srgb_u8_to_linear(d), -1, 0))(
-        dist_batch_u8
+    linear = (
+        lin_planar
+        if lin_planar is not None
+        else jax.vmap(lambda d: jnp.moveaxis(srgb_u8_to_linear(d), -1, 0))(
+            dist_batch_u8
+        )
     )
     per_scale = []
     for scale in range(NUM_SCALES):
