@@ -161,6 +161,11 @@ def run_sweep_scenario(jax, jnp) -> dict:
                 for per_img in chunks
                 for c in per_img
             ]
+            # Drain the transfer stream: block_until_ready can return before
+            # the tunneled copies complete, which would bleed staging time
+            # into the sustained-compute window; fetching one element of the
+            # LAST staged array serializes behind every prior transfer.
+            _ = np.asarray(devs[-1][0, 0, 0, :1])
             t0 = time.perf_counter()
             outs = []
             for i in range(SWEEP_IMAGES):
