@@ -39,7 +39,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--preset", choices=sorted(QUALITY_PRESETS), default="quick",
         help="quality ladder",
     )
-    p.add_argument("--format", default="jpeg", help="jpeg|avif|webp")
+    p.add_argument("--format", default="jpeg", help="jpeg|avif|webp|tpujpeg")
     p.add_argument("--subsampling", default="420")
     p.add_argument("--baseline-dir", type=Path, default=Path("baselines"))
     p.add_argument(

@@ -12,6 +12,7 @@ from .pil_codecs import (
     jpegxl_stub,
 )
 from .jxl import JpegXlCodec
+from .tpujpeg import TpuJpegCodec
 from .registry import CodecRegistry, CompareConfig, FormatSelection
 from .report import (
     CodecStats,
@@ -37,6 +38,7 @@ __all__ = [
     "jpegli_stub",
     "jpegxl_stub",
     "JpegXlCodec",
+    "TpuJpegCodec",
     "CodecRegistry",
     "CompareConfig",
     "FormatSelection",

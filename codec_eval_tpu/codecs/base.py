@@ -62,6 +62,7 @@ _CODEC_COLORS = {
     "libjpeg-turbo": "#95a5a6",
     "jpeg": "#e74c3c",
     "zenjpeg": "#2ecc71",
+    "tpujpeg": "#2ecc71",
     "webp": "#27ae60",
     "avif-aom": "#9b59b6",
     "avif-rav1e": "#e67e22",

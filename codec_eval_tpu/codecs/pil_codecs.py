@@ -307,4 +307,8 @@ def jpegxl_stub() -> UnavailableCodec:
 
 
 def jpegli_stub() -> UnavailableCodec:
-    return UnavailableCodec("jpegli", "jpg", "jpegli not present; use jpeg-*")
+    return UnavailableCodec(
+        "jpegli",
+        "jpg",
+        "jpegli not present; tpujpeg-* fills the jpegli-style ladder slot",
+    )

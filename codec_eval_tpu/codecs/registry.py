@@ -126,9 +126,13 @@ class CodecRegistry:
                 count += self.register_codec(codec)
             count += self.register_codec(jpegli_stub())
         if f.zenjpeg:
-            # zenjpeg is a pure-Rust jpegli-style encoder with no analog
-            # here; the 4:4:4 optimized JPEG is the closest available point.
-            pass
+            # The reference's zenjpeg slot (pure-software jpegli-style
+            # encoder) is filled by tpujpeg: TPU transform path + native
+            # Huffman (codecs/tpujpeg.py).
+            from .tpujpeg import TpuJpegCodec
+
+            for codec in TpuJpegCodec.presets():
+                count += self.register_codec(codec)
         if f.webp:
             count += self.register_codec(WebPCodec())
         if f.avif:

@@ -1,0 +1,174 @@
+"""tpujpeg: the TPU-native jpegli-style JPEG encoder adapter.
+
+Fills the role the reference gives its zenjpeg crate — a self-built,
+jpegli-style pure-software JPEG encoder in the comparison ladder
+(reference: crates/codec-compare/src/encoders/zenjpeg.rs:10-58,
+crates/codec-iter/src/config.rs:5-67).  Architecture is TPU-first rather
+than a translation: the quality-independent analysis (YCbCr, subsampling,
+all 8x8 forward DCTs as batched MXU matmuls, the psychovisual activity
+field) runs as one jitted device program per image
+(kernels/jpeg_enc.build_transform); per-quality work is a cheap host
+quantization pass plus the native C++ optimized-Huffman entropy coder
+(native/jpeg_entropy.cpp).
+
+jpegli-style techniques carried over (re-derived, not transcribed —
+jpegli itself is not present in this environment):
+
+- **Adaptive quantization via rounding bias**: quantization tables stay
+  global (standard-decodable), but the rounding offset of AC coefficients
+  narrows from 0.5 (round-to-nearest) toward a wider zero deadzone in
+  blocks whose activity field says texture masking hides the loss.
+- **Optimized Huffman tables always** (two-pass histogram -> canonical
+  length-limited codes).
+- **Quality sweeps share one analysis pass**: ``encode_sweep`` encodes all
+  quality levels of an image from a single device transform — the encoder
+  analog of the scorer's reference-precompute reuse
+  (reference precedent: crates/codec-iter/src/eval.rs:138-149).
+
+Measured ladder position (tools/tpujpeg_bench.py, 2026-08-18, BD-rate in
+SSIMULACRA2 vs PIL libjpeg-turbo 4:2:0 optimized, q50-95, 512px synthetic
+corpora): plain tpujpeg-420 -4.5% (optimized-Huffman + rounding details);
+tpujpeg-420-aq -37% on the noisy corpus and -9.2% on a clean
+(noise-free gradients/edges/texture) corpus.  The noisy number is
+inflated — the deadzone deletes exactly the sensor-noise coefficients
+SSIMULACRA2 barely scores — so treat the clean-corpus figure as the
+representative one.  aq_strength=0.30 is the calibrated default: the
+clean corpus peaks there (-9.2% vs -5.1% at 0.45), while the noisy
+corpus is already within 1.5pt of its asymptote.
+"""
+
+from __future__ import annotations
+
+import io
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..engine.image import ImageData
+from ..engine.session import EncodeRequest
+from ..errors import CodecError
+from ..kernels import jpeg_enc as _je
+from ..utils import native as _native
+from .base import CodecImpl
+
+__all__ = ["TpuJpegCodec", "is_available"]
+
+
+def is_available() -> bool:
+    """True when the native entropy coder is present (auto-built on first
+    use when a toolchain exists; see utils/native._try_build)."""
+    return _native.jpeg_entropy_available()
+
+
+class TpuJpegCodec(CodecImpl):
+    """jpegli-style baseline JPEG encoder with a TPU transform path.
+
+    Parameters
+    ----------
+    subsampling: "420" (default) or "444".
+    adaptive: enable the activity-driven rounding bias (default True).
+    aq_strength: maximum reduction of the AC rounding offset at full
+        activity; 0.30 means busy blocks round with offset 0.5 - 0.30.
+        Calibrated by tools/tpujpeg_bench.py.
+    """
+
+    def __init__(
+        self,
+        subsampling: str = "420",
+        adaptive: bool = True,
+        aq_strength: float = 0.30,
+    ):
+        if subsampling not in ("420", "444"):
+            raise CodecError("tpujpeg", f"unsupported subsampling {subsampling!r}")
+        self.subsampling = subsampling
+        self.adaptive = adaptive
+        self.aq_strength = float(aq_strength)
+        # One-slot transform memo: the session sweeps qualities per image,
+        # so consecutive encode() calls see the same pixels (keyed by FNV
+        # of the raw bytes to stay correct if they do not).
+        self._memo_lock = threading.Lock()
+        self._memo_key: Optional[Tuple[int, int, int]] = None
+        self._memo_val: Optional[Dict[str, np.ndarray]] = None
+
+    # -- CodecImpl ----------------------------------------------------------
+
+    def id(self) -> str:
+        aq = "-aq" if self.adaptive else ""
+        return f"tpujpeg-{self.subsampling}{aq}"
+
+    def version(self) -> str:
+        return "1.0"
+
+    def format(self) -> str:
+        return "jpg"
+
+    def is_available(self) -> bool:
+        return is_available()
+
+    def encode(self, image: ImageData, request: EncodeRequest) -> bytes:
+        rgb = image.to_rgb8()
+        tr = self._transform(rgb)
+        return self._encode_from_transform(
+            tr, rgb.shape[1], rgb.shape[0], float(request.quality)
+        )
+
+    def decode(self, data: bytes) -> ImageData:
+        from PIL import Image
+
+        try:
+            img = Image.open(io.BytesIO(data)).convert("RGB")
+        except Exception as exc:  # pragma: no cover - PIL error taxonomy
+            raise CodecError(self.id(), f"decode failed: {exc}") from exc
+        return ImageData.rgb8(np.asarray(img))
+
+    # -- sweep API ----------------------------------------------------------
+
+    def encode_sweep(
+        self, image: ImageData, qualities: Sequence[float]
+    ) -> List[bytes]:
+        """Encode every quality level from ONE device analysis pass."""
+        rgb = image.to_rgb8()
+        tr = self._transform(rgb)
+        w, h = rgb.shape[1], rgb.shape[0]
+        return [self._encode_from_transform(tr, w, h, float(q)) for q in qualities]
+
+    # -- internals ----------------------------------------------------------
+
+    def _transform(self, rgb: np.ndarray) -> Dict[str, np.ndarray]:
+        key = (_native.fnv1a64(rgb), rgb.shape[0], rgb.shape[1])
+        with self._memo_lock:
+            if key == self._memo_key and self._memo_val is not None:
+                return self._memo_val
+        val = _je.jpeg_transform(rgb, self.subsampling)
+        with self._memo_lock:
+            self._memo_key, self._memo_val = key, val
+        return val
+
+    def _bias(self, act: np.ndarray) -> np.ndarray | float:
+        if not self.adaptive:
+            return 0.5
+        return np.clip(0.5 - self.aq_strength * act, 0.2, 0.5).astype(np.float32)
+
+    def _encode_from_transform(
+        self, tr: Dict[str, np.ndarray], width: int, height: int, quality: float
+    ) -> bytes:
+        ql, qc = _je.quality_to_qtables(quality)
+        qy = _je.quantize_blocks(tr["dct_y"], ql, self._bias(tr["act_y"]))
+        qcb = _je.quantize_blocks(tr["dct_cb"], qc, self._bias(tr["act_c"]))
+        qcr = _je.quantize_blocks(tr["dct_cr"], qc, self._bias(tr["act_c"]))
+        return _native.jpeg_encode_baseline(
+            width, height, self.subsampling,
+            qy, qcb, qcr, ql[_je.ZIGZAG], qc[_je.ZIGZAG],
+        )
+
+    @classmethod
+    def presets(cls) -> List["TpuJpegCodec"]:
+        """The tpujpeg ladder (the zenjpeg config grid analog,
+        reference: crates/codec-iter/src/config.rs:5-67)."""
+        return [
+            cls(subsampling="420", adaptive=True),
+            cls(subsampling="444", adaptive=True),
+            cls(subsampling="420", adaptive=False),
+            cls(subsampling="444", adaptive=False),
+        ]

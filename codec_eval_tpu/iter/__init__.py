@@ -9,7 +9,7 @@ from .baseline import (
     make_baseline,
     save_baseline,
 )
-from .codecs import AVIF_PRESETS, AvifIterConfig, JpegIterConfig, WebpIterConfig, build_codec
+from .codecs import AVIF_PRESETS, AvifIterConfig, JpegIterConfig, TpuJpegIterConfig, WebpIterConfig, build_codec
 from .eval import Codec, EvalPoint, EvalResult, SourceImage, run_eval
 from .source import MEDIUM, SMALL, TINY, load_image, load_sources
 from .sweep import SweepResult, print_sweep, run_sweep

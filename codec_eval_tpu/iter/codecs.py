@@ -109,6 +109,36 @@ class AvifIterConfig:
 
 
 @dataclass
+class TpuJpegIterConfig:
+    """The in-house jpegli-style encoder (codecs/tpujpeg.py) in the
+    iteration loop — the reference's zenjpeg format slot
+    (crates/codec-iter/src/config.rs:5-67)."""
+
+    subsampling: str = "420"
+    adaptive: bool = True
+
+    def summary(self) -> str:
+        aq = "aq" if self.adaptive else "plain"
+        return f"tpujpeg-{self.subsampling}-{aq}"
+
+    def build(self) -> Codec:
+        from ..codecs.tpujpeg import TpuJpegCodec, is_available
+        from ..engine.image import ImageData
+        from ..engine.session import EncodeRequest
+
+        if not is_available():
+            raise UnsupportedFormat(
+                "tpujpeg needs the native entropy coder (make -C native)"
+            )
+        impl = TpuJpegCodec(subsampling=self.subsampling, adaptive=self.adaptive)
+
+        def encode(rgb: np.ndarray, quality: int) -> bytes:
+            return impl.encode(ImageData.rgb8(rgb), EncodeRequest(float(quality)))
+
+        return Codec(encode=encode, decode=_pil_decode, summary=self.summary())
+
+
+@dataclass
 class WebpIterConfig:
     method: int = 4
 
@@ -143,4 +173,7 @@ def build_codec(
         return AvifIterConfig(preset=preset).build()
     if fmt == "webp":
         return WebpIterConfig(method=webp_method).build()
-    raise UnsupportedFormat(f"unknown format '{fmt}' (jpeg|avif|webp)")
+    if fmt == "tpujpeg":
+        # tpujpeg is baseline-only; "progressive" has no meaning here.
+        return TpuJpegIterConfig(subsampling=subsampling).build()
+    raise UnsupportedFormat(f"unknown format '{fmt}' (jpeg|avif|webp|tpujpeg)")

@@ -1,0 +1,277 @@
+"""TPU-side JPEG analysis/transform path for the tpujpeg encoder.
+
+The reference fills its "jpegli-style pure-software encoder" slot with the
+zenjpeg crate (reference: crates/codec-compare/src/encoders/zenjpeg.rs:10-58,
+crates/codec-iter/src/config.rs:5-67).  This module is the TPU-native analog
+of that encoder's *analysis half*: everything quality-independent — color
+conversion, chroma subsampling, the 8x8 forward DCTs (two MXU matmuls per
+block axis), and the per-block psychovisual activity field used for adaptive
+rounding — runs as ONE jitted program per image.  The host then quantizes
+the returned coefficient planes per quality (cheap elementwise numpy) and
+entropy-codes with the native C++ Huffman coder
+(native/jpeg_entropy.cpp via utils/native.py), mirroring the split the
+reference makes between its Rust DCT path and its bit writer.
+
+Why this split: a quality sweep (the dense-sweep workload, BASELINE.md)
+re-encodes the same image at 25 qualities; the DCT and the activity field
+are quality-invariant, so the device computes them once and the per-quality
+work collapses to a rounding pass + Huffman.  The DCT itself is a pair of
+(8,8) matmul contractions applied to every block — batched over all blocks
+of the image, which XLA tiles onto the MXU.
+
+All math is f32 with HIGHEST matmul precision: quantized coefficients must
+be exact integers, and bf16 MXU rounding would perturb round() decisions
+near .5 boundaries (same pitfall as the opsin matmul fix documented in
+ROADMAP.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "ZIGZAG",
+    "dct8_matrix",
+    "jpeg_transform",
+    "build_transform",
+    "quantize_blocks",
+    "quality_to_qtables",
+]
+
+#: Natural-order index of each coefficient in zigzag scan order
+#: (identical to libjpeg's jpeg_natural_order; ITU T.81 Figure 5).
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int32,
+)
+
+#: ITU T.81 Annex K.1 example quantization tables (natural row-major order).
+#: These are the interoperability baseline every JPEG encoder scales from;
+#: the psychovisually retuned tables live in codecs/tpujpeg.py.
+ANNEX_K_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+
+ANNEX_K_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.float64,
+)
+
+
+def dct8_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix C with C[u, x] = s(u) cos((2x+1)u pi/16).
+
+    F = C f C^T reproduces the JPEG forward DCT (T.81 A.3.3) exactly:
+    s(0) = sqrt(1/8) and s(u>0) = 1/2 give the 1/4 C(u) C(v) normalization.
+    """
+    u = np.arange(8)[:, None].astype(np.float64)
+    x = np.arange(8)[None, :].astype(np.float64)
+    c = np.cos((2.0 * x + 1.0) * u * np.pi / 16.0)
+    c[0, :] *= np.sqrt(0.5)
+    return (c * 0.5).astype(np.float32)
+
+
+def quality_to_qtables(
+    quality: float,
+    base_luma: np.ndarray = ANNEX_K_LUMA,
+    base_chroma: np.ndarray = ANNEX_K_CHROMA,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Scale base tables by the libjpeg quality convention (jcparam.c's
+    jpeg_quality_scaling): scale = 5000/q below 50 else 200 - 2q.
+
+    Returns uint16 natural-order tables clamped to [1, 255] (baseline JPEG
+    requires 8-bit table entries).
+    """
+    q = float(min(max(quality, 1.0), 100.0))
+    scale = 5000.0 / q if q < 50.0 else 200.0 - 2.0 * q
+
+    def scaled(base: np.ndarray) -> np.ndarray:
+        t = np.floor((base * scale + 50.0) / 100.0)
+        return np.clip(t, 1.0, 255.0).astype(np.uint16)
+
+    return scaled(np.asarray(base_luma)), scaled(np.asarray(base_chroma))
+
+
+def _pad_edge_2d(plane: jnp.ndarray, mult: int) -> jnp.ndarray:
+    h, w = plane.shape
+    hp = -h % mult
+    wp = -w % mult
+    if hp or wp:
+        plane = jnp.pad(plane, ((0, hp), (0, wp)), mode="edge")
+    return plane
+
+
+def _blockify(plane: jnp.ndarray) -> jnp.ndarray:
+    """(H, W) -> (by, bx, 8, 8); H, W already multiples of 8."""
+    h, w = plane.shape
+    return plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+
+
+def _dct_blocks(blocks: jnp.ndarray, cmat: jnp.ndarray) -> jnp.ndarray:
+    """Forward DCT over (..., 8, 8) blocks: C f C^T as two contractions.
+
+    HIGHEST precision: coefficient values feed integer rounding decisions,
+    so the default bf16 MXU path is not acceptable here.
+    """
+    t = jnp.einsum(
+        "ux,...xy->...uy", cmat, blocks, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "vy,...uy->...uv", cmat, t, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _activity_field(y_plane: jnp.ndarray) -> jnp.ndarray:
+    """Per-block psychovisual activity in [0, 1] from the (padded) Y plane.
+
+    Activity is the log-compressed intra-block AC energy: sqrt of the block
+    variance of Y (0..255), mapped through log1p and normalized so flat
+    gradients score ~0 and dense texture saturates toward 1.  The host maps
+    this to a per-block rounding bias (deadzone width) — the standard-
+    decodable form of jpegli-style adaptive quantization: the quantization
+    *tables* stay global, only the rounding of masked blocks biases toward
+    zero, spending fewer bits where HVS masking hides the loss.
+    """
+    blocks = _blockify(y_plane)
+    mean = jnp.mean(blocks, axis=(-1, -2), keepdims=True)
+    var = jnp.mean((blocks - mean) ** 2, axis=(-1, -2))
+    sd = jnp.sqrt(var + 1e-6)
+    # log1p(sd / 2): sd ~= 2 (near-invisible noise) -> 0.69; sd ~= 40
+    # (strong texture) -> 3.0.  Normalize by log1p(40 / 2).
+    act = jnp.log1p(sd * 0.5) / np.log1p(20.0)
+    return jnp.clip(act, 0.0, 1.0)
+
+
+@functools.lru_cache(maxsize=32)
+def build_transform(height: int, width: int, subsampling: str = "420"):
+    """Jitted quality-independent JPEG analysis for one image shape.
+
+    Returns a function rgb_u8 (H, W, 3) -> dict of
+      dct_y   (byY, bxY, 64) f32 zigzag-order DCT coefficients
+      dct_cb / dct_cr (byC, bxC, 64)
+      act_y   (byY, bxY) activity in [0, 1]
+      act_c   (byC, bxC) activity of the chroma block grid (from Y)
+    Block grids are padded to full MCUs (16x16 luma pixels for 4:2:0,
+    8x8 for 4:4:4) by edge replication, as the entropy coder requires.
+    """
+    if subsampling not in ("420", "444"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    cmat = jnp.asarray(dct8_matrix())
+    zz = jnp.asarray(ZIGZAG)
+
+    def transform(rgb_u8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        rgb = rgb_u8.astype(jnp.float32)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        # JFIF YCbCr (BT.601 full range), T.871 section 7.
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+
+        mcu = 16 if subsampling == "420" else 8
+        y = _pad_edge_2d(y, mcu)
+        cb = _pad_edge_2d(cb, mcu)
+        cr = _pad_edge_2d(cr, mcu)
+        if subsampling == "420":
+            # 2x2 box downsample (libjpeg h2v2 convention, without the
+            # fancy smoothing pass).
+            def down(p):
+                return 0.25 * (
+                    p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+                )
+
+            cb, cr = down(cb), down(cr)
+
+        def coeffs(plane):
+            f = _dct_blocks(_blockify(plane - 128.0), cmat)
+            flat = f.reshape(f.shape[0], f.shape[1], 64)
+            return jnp.take(flat, zz, axis=-1)
+
+        act_y = _activity_field(y)
+        if subsampling == "420":
+            ay = act_y.reshape(
+                act_y.shape[0] // 2, 2, act_y.shape[1] // 2, 2
+            )
+            act_c = jnp.max(ay, axis=(1, 3))
+        else:
+            act_c = act_y
+        return {
+            "dct_y": coeffs(y),
+            "dct_cb": coeffs(cb),
+            "dct_cr": coeffs(cr),
+            "act_y": act_y,
+            "act_c": act_c,
+        }
+
+    return jax.jit(transform)
+
+
+def jpeg_transform(
+    rgb_u8: np.ndarray, subsampling: str = "420"
+) -> Dict[str, np.ndarray]:
+    """Host entry: run the device transform and fetch the planes."""
+    h, w = rgb_u8.shape[:2]
+    out = build_transform(h, w, subsampling)(jnp.asarray(rgb_u8))
+    return {k: np.asarray(v) for k, v in out.items()}
+
+
+def quantize_blocks(
+    dct_zz: np.ndarray,
+    qtable_natural: np.ndarray,
+    bias: np.ndarray | float = 0.5,
+) -> np.ndarray:
+    """Deadzone-quantize zigzag-order DCT blocks on the host.
+
+    bias is the rounding offset per block ((by, bx) or scalar): 0.5 is
+    round-to-nearest; smaller values widen the zero deadzone of the AC
+    coefficients (DC always rounds to nearest — DC banding is never
+    masked).  quantized = sign(F) * floor(|F| / q + bias).
+    """
+    q = np.asarray(qtable_natural, dtype=np.float32)[ZIGZAG]
+    scaled = np.abs(dct_zz) / q
+    b = np.broadcast_to(
+        np.float32(bias)[..., None]
+        if isinstance(bias, np.ndarray)
+        else np.float32(bias),
+        scaled.shape,
+    ).copy()
+    b[..., 0] = 0.5
+    qc = np.floor(scaled + b)
+    # Baseline Huffman caps AC magnitude categories at 10 bits; clamp the
+    # (pathological, q=1 synthetic-only) overflow rather than emit an
+    # undecodable symbol.
+    qc = np.minimum(qc, 1023.0)
+    return (np.sign(dct_zz) * qc).astype(np.int16)

@@ -26,11 +26,32 @@ _lib: Optional[ctypes.CDLL] = None
 _lib_checked = False
 
 
+def _try_build() -> None:
+    """Best-effort `make -C native` so a fresh checkout gets the fast paths
+    (and the JPEG entropy coder) without a manual build step."""
+    import shutil
+    import subprocess
+
+    if not shutil.which("make") or not (_REPO_ROOT / "native" / "Makefile").exists():
+        return
+    try:
+        subprocess.run(
+            ["make", "-C", str(_REPO_ROOT / "native")],
+            capture_output=True,
+            timeout=120,
+            check=False,
+        )
+    except Exception:
+        pass
+
+
 def _load() -> Optional[ctypes.CDLL]:
     global _lib, _lib_checked
     if _lib_checked:
         return _lib
     _lib_checked = True
+    if not any(c.exists() for c in _SO_CANDIDATES):
+        _try_build()
     for cand in _SO_CANDIDATES:
         if not cand.exists():
             continue
@@ -58,6 +79,16 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
             ]
+            if hasattr(lib, "ce_jpeg_encode_baseline"):
+                lib.ce_jpeg_encode_baseline.restype = ctypes.c_int64
+                lib.ce_jpeg_encode_baseline.argtypes = [
+                    ctypes.c_uint16, ctypes.c_uint16, ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_uint32, ctypes.c_uint32,
+                    ctypes.c_uint32, ctypes.c_uint32,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_size_t,
+                ]
             _lib = lib
             return lib
         except OSError:
@@ -147,6 +178,51 @@ def write_ppm(path, rgb: np.ndarray) -> None:
     with open(path, "wb") as f:
         f.write(f"P6\n{w} {h}\n255\n".encode())
         f.write(np.ascontiguousarray(rgb).tobytes())
+
+
+def jpeg_entropy_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "ce_jpeg_encode_baseline")
+
+
+def jpeg_encode_baseline(
+    width: int,
+    height: int,
+    subsampling: str,
+    y_coeffs: np.ndarray,
+    cb_coeffs: np.ndarray,
+    cr_coeffs: np.ndarray,
+    qtab_luma_zz: np.ndarray,
+    qtab_chroma_zz: np.ndarray,
+) -> bytes:
+    """Entropy-code quantized zigzag coefficient planes into a baseline
+    JFIF bytestream with optimized Huffman tables (native/jpeg_entropy.cpp).
+
+    Coefficient planes are int16 (by, bx, 64); qtables are uint16[64] in
+    ZIGZAG order.  subsampling is "420" or "444".
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "ce_jpeg_encode_baseline"):
+        raise RuntimeError(
+            "native JPEG entropy coder unavailable; build with `make -C native`"
+        )
+    y = np.ascontiguousarray(y_coeffs, dtype=np.int16)
+    cb = np.ascontiguousarray(cb_coeffs, dtype=np.int16)
+    cr = np.ascontiguousarray(cr_coeffs, dtype=np.int16)
+    ql = np.ascontiguousarray(qtab_luma_zz, dtype=np.uint16)
+    qc = np.ascontiguousarray(qtab_chroma_zz, dtype=np.uint16)
+    cap = y.nbytes + cb.nbytes + cr.nbytes + (1 << 16)
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.ce_jpeg_encode_baseline(
+        width, height, 1 if subsampling == "420" else 0,
+        y.ctypes.data, cb.ctypes.data, cr.ctypes.data,
+        y.shape[0], y.shape[1], cb.shape[0], cb.shape[1],
+        ql.ctypes.data, qc.ctypes.data,
+        out.ctypes.data, cap,
+    )
+    if n < 0:
+        raise RuntimeError("ce_jpeg_encode_baseline failed (buffer/args)")
+    return out[:n].tobytes()
 
 
 def read_ppm(path) -> np.ndarray:

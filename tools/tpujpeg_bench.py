@@ -1,0 +1,102 @@
+"""Measure tpujpeg's ladder position: BD-rate (SSIMULACRA2) vs PIL
+libjpeg-turbo at matched subsampling, plus an aq_strength scan.
+
+This is the measurement backing the numbers quoted in
+codec_eval_tpu/codecs/tpujpeg.py's module docstring — the same
+benchmark-backed-comment convention the reference uses for its AVIF ladder
+(reference: crates/codec-iter/src/avif_config.rs:3-7).
+
+Corpus: 8 synthetic 512px photos (bench.py's generator — gradients +
+texture noise; no real corpus ships in this environment).  Curves: q in
+{50, 60, 70, 80, 85, 90, 95}; BD-rate integrated over the overlapping
+SSIMULACRA2 range per image, mean over images.
+
+Run: ``python tools/tpujpeg_bench.py [--aq-scan]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+QUALITIES = [50, 60, 70, 80, 85, 90, 95]
+SIZE = 512
+N_IMAGES = 8
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--aq-scan", action="store_true")
+    parser.add_argument("--subsampling", default="420", choices=["420", "444"])
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from bench import _photo
+    from codec_eval_tpu.codecs.tpujpeg import TpuJpegCodec
+    from codec_eval_tpu.engine.image import ImageData
+    from codec_eval_tpu.kernels.ssimulacra2 import ssimulacra2_batch
+    from codec_eval_tpu.stats.summary import bd_rate
+
+    refs = [_photo(SIZE, SIZE, 40 + i) for i in range(N_IMAGES)]
+    pil_sub = 2 if args.subsampling == "420" else 0
+
+    def pil_encode(img: np.ndarray, q: int) -> bytes:
+        buf = io.BytesIO()
+        Image.fromarray(img).save(
+            buf, "JPEG", quality=q, optimize=True, subsampling=pil_sub
+        )
+        return buf.getvalue()
+
+    def curve(encodes: list[bytes], ref: np.ndarray) -> list[tuple[float, float]]:
+        """[(bpp, ssim2)] for one image's quality ladder."""
+        decs = np.stack(
+            [
+                np.asarray(Image.open(io.BytesIO(d)).convert("RGB"))
+                for d in encodes
+            ]
+        )
+        scores = np.asarray(ssimulacra2_batch(jnp.asarray(ref), jnp.asarray(decs)))
+        bpp = [len(d) * 8.0 / (SIZE * SIZE) for d in encodes]
+        return list(zip(bpp, scores.tolist()))
+
+    def mean_bd(codec: TpuJpegCodec) -> float:
+        deltas = []
+        for ref in refs:
+            base = curve([pil_encode(ref, q) for q in QUALITIES], ref)
+            test = curve(
+                codec.encode_sweep(ImageData.rgb8(ref), [float(q) for q in QUALITIES]),
+                ref,
+            )
+            d = bd_rate(base, test)
+            if d is not None:
+                deltas.append(d)
+        return float(np.mean(deltas))
+
+    if args.aq_scan:
+        for s in (0.0, 0.15, 0.22, 0.30, 0.38, 0.45):
+            codec = TpuJpegCodec(
+                subsampling=args.subsampling, adaptive=s > 0, aq_strength=s
+            )
+            print(f"aq_strength={s:4.2f}: BD-rate vs PIL = {mean_bd(codec):+6.2f}%")
+        return
+
+    for adaptive in (False, True):
+        codec = TpuJpegCodec(subsampling=args.subsampling, adaptive=adaptive)
+        label = codec.id()
+        print(f"{label}: BD-rate (SSIMULACRA2) vs PIL {args.subsampling} "
+              f"optimized = {mean_bd(codec):+6.2f}%")
+
+
+if __name__ == "__main__":
+    main()
