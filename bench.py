@@ -56,7 +56,13 @@ def _photo(h, w, seed):
 
 
 SWEEP_SIZE = 512
-SWEEP_IMAGES = 4
+# Sustained-rate window size.  The window pays ONE result-fetch RTT (~25 ms
+# on this tunnel); the 209-image CID22 workload amortizes that over 52x
+# more pairs, so a too-small window understates the production rate.  8
+# images (800 pairs) keeps the artifact under ~1.5% while bounding staging
+# time; the e2e phase stays at 4 images to bound host-encode wall time.
+SWEEP_IMAGES = int(__import__("os").environ.get("CODEC_EVAL_BENCH_IMAGES", "8"))
+SWEEP_IMAGES_E2E = 4
 SWEEP_QUALITIES = tuple(range(50, 99, 2))  # dense preset: 25 points
 SWEEP_TARGET_PAIRS_PER_SEC = 1300.0  # CID22 dense sweep <2 s on v5e-8
 CID22_IMAGES = 209
@@ -185,10 +191,11 @@ def run_sweep_scenario(jax, jnp) -> dict:
     # End-to-end: host encode/decode overlapped with device scoring via a
     # producer pool + async dispatch (SURVEY.md §7 hard part #2).
     def e2e_once():
+        n_e2e = min(SWEEP_IMAGES_E2E, len(refs))
         t0 = time.perf_counter()
         outs = []
         with ThreadPoolExecutor(max_workers=8) as pool:
-            futures = [pool.submit(encode_image, r) for r in refs]
+            futures = [pool.submit(encode_image, r) for r in refs[:n_e2e]]
             for i, fut in enumerate(futures):
                 batch = fut.result()
                 pre = pre_all(refs_dev[i])
@@ -200,7 +207,7 @@ def run_sweep_scenario(jax, jnp) -> dict:
                         )
                     )
         _ = np.asarray(next(iter(outs[-1].values()))[0])  # see note above
-        return SWEEP_IMAGES * n_cand / (time.perf_counter() - t0)
+        return n_e2e * n_cand / (time.perf_counter() - t0)
 
     e2e_pps = max(e2e_once() for _ in range(2))
 
