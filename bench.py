@@ -188,6 +188,61 @@ def run_sweep_scenario(jax, jnp) -> dict:
     all_pps, all_staged_pps = timed_pairs_per_sec(scorer_all, pre_all)
     s2_pps, _ = timed_pairs_per_sec(scorer_s2, pre_s2)
 
+    # Device-resident tpujpeg ladder: encode (transform+quantize), decode
+    # (dequant+iDCT+upsample) and all-metric scoring all on device — no
+    # candidate pixels cross the host boundary (engine/tpu_sweep.py).  The
+    # reference has no analog: its loop round-trips every candidate through
+    # host RAM (crates/codec-iter/src/eval.rs:151-167).  "scores_only"
+    # excludes the host entropy pass; "with_sizes" includes exact .jpg
+    # byte sizes via the native Huffman coder on this box's single CPU.
+    def tpu_e2e_rates():
+        from codec_eval_tpu.kernels import jpeg_enc as _je2
+        from codec_eval_tpu.engine.tpu_sweep import _qtabs_for
+        from codec_eval_tpu.utils import native as _nat
+
+        qualities = [float(q) for q in SWEEP_QUALITIES]
+        recon = _je2.build_reconstruct_sweep(
+            SWEEP_SIZE, SWEEP_SIZE, len(qualities), "420"
+        )
+        qtabs = jnp.asarray(_qtabs_for(qualities))
+        ql, qc = _je2.quality_to_qtables(75.0)  # warm zigzag tables
+
+        def ladder(ref_dev, want_coefs):
+            cands, coefs = recon(ref_dev, qtabs, 0.30)
+            return scorer_all(pre_all(ref_dev), cands), coefs
+
+        # Warm up compiles.
+        out, coefs = ladder(refs_dev[0], True)
+        _ = [np.asarray(v) for v in out.values()]
+
+        def run(with_sizes):
+            n_img = min(4, len(refs_dev))
+            t0 = time.perf_counter()
+            outs = []
+            for i in range(n_img):
+                scores, coefs = ladder(refs_dev[i], with_sizes)
+                outs.append(scores)
+                if with_sizes:
+                    cy = np.asarray(coefs["y"])
+                    ccb = np.asarray(coefs["cb"])
+                    ccr = np.asarray(coefs["cr"])
+                    for qi, q in enumerate(qualities):
+                        tl, tc = _je2.quality_to_qtables(q)
+                        _nat.jpeg_encode_baseline(
+                            SWEEP_SIZE, SWEEP_SIZE, "420",
+                            cy[qi], ccb[qi], ccr[qi],
+                            tl[_je2.ZIGZAG], tc[_je2.ZIGZAG],
+                        )
+            _ = np.asarray(next(iter(outs[-1].values()))[0])
+            return n_img * len(qualities) / (time.perf_counter() - t0)
+
+        return (
+            max(run(False) for _ in range(2)),
+            max(run(True) for _ in range(2)),
+        )
+
+    tpu_e2e_scores_pps, tpu_e2e_sizes_pps = tpu_e2e_rates()
+
     # End-to-end: host encode/decode overlapped with device scoring via a
     # producer pool + async dispatch (SURVEY.md §7 hard part #2).
     def e2e_once():
@@ -239,6 +294,8 @@ def run_sweep_scenario(jax, jnp) -> dict:
         # decode has host_cpu_count cores available vs ~112/8 chips on a
         # production v5e host.
         "e2e_overlapped_pairs_per_sec": round(e2e_pps, 1),
+        "tpu_e2e_ladder_pairs_per_sec": round(tpu_e2e_sizes_pps, 1),
+        "tpu_e2e_ladder_scores_only_pairs_per_sec": round(tpu_e2e_scores_pps, 1),
         "host_cpu_count": __import__("os").cpu_count(),
         "cid22_dense_sweep_v5e8_seconds_allmetric": round(cid22_v5e8_s, 2),
         "achieved_tflops": achieved_tflops,

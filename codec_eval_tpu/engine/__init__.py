@@ -4,6 +4,7 @@ from .helpers import assert_perception_level, assert_quality, evaluate_single
 from .image import ImageData
 from .report import CodecResult, CorpusReport, ImageReport
 from .scoring import BatchScorer
+from .tpu_sweep import TpuSweepPoint, evaluate_tpujpeg_sweep
 from .session import (
     DEFAULT_QUALITY_LEVELS,
     EncodeRequest,
@@ -21,6 +22,8 @@ __all__ = [
     "CorpusReport",
     "ImageReport",
     "BatchScorer",
+    "TpuSweepPoint",
+    "evaluate_tpujpeg_sweep",
     "DEFAULT_QUALITY_LEVELS",
     "EncodeRequest",
     "EvalConfig",

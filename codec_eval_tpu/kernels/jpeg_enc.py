@@ -248,6 +248,115 @@ def jpeg_transform(
     return {k: np.asarray(v) for k, v in out.items()}
 
 
+def _idct_blocks(coeffs: jnp.ndarray, cmat: jnp.ndarray) -> jnp.ndarray:
+    """Inverse DCT over (..., 8, 8) blocks: C^T F C (C is orthonormal)."""
+    t = jnp.einsum(
+        "ux,...uv->...xv", cmat, coeffs, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "vy,...xv->...xy", cmat, t, precision=jax.lax.Precision.HIGHEST
+    )
+
+
+def _unblockify(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(by, bx, 8, 8) -> (by*8, bx*8)."""
+    by, bx = blocks.shape[0], blocks.shape[1]
+    return blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+
+
+def _triangle_upsample2x(plane: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2x triangle ("fancy") upsample with edge clamp — the
+    libjpeg h2v2 fancy-upsampling convention: out[2i] = (3 in[i] +
+    in[i-1]) / 4, out[2i+1] = (3 in[i] + in[i+1]) / 4 per axis."""
+
+    def axis_up(p):
+        prev = jnp.concatenate([p[:1], p[:-1]], axis=0)
+        nxt = jnp.concatenate([p[1:], p[-1:]], axis=0)
+        even = 0.75 * p + 0.25 * prev
+        odd = 0.75 * p + 0.25 * nxt
+        return jnp.stack([even, odd], axis=1).reshape(-1, *p.shape[1:])
+
+    return axis_up(axis_up(plane).T).T
+
+
+def _ycbcr_to_rgb_u8(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
+    """JFIF (BT.601 full-range) inverse color transform -> (H, W, 3) u8."""
+    cb = cb - 128.0
+    cr = cr - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = jnp.stack([r, g, b], axis=-1)
+    return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=16)
+def build_reconstruct_sweep(
+    height: int, width: int, n_q: int, subsampling: str = "420"
+):
+    """Jitted device-side decode of a whole quality ladder.
+
+    Returns fn(rgb_u8 (H, W, 3), qtabs (n_q, 2, 64) natural-order f32,
+    aq_strength scalar f32 (0 = plain rounding)) ->
+      (candidates (n_q, H, W, 3) u8,
+       coeffs {y/cb/cr: (n_q, by, bx, 64) int16 zigzag}).
+
+    The candidates are what this framework's own decoder produces for the
+    bytes the host entropy coder would emit from `coeffs` — so a full R-D
+    sweep (encode all qualities, decode, score) runs with no host pixel
+    traffic: only the int16 coefficient planes leave the device, and only
+    when exact byte sizes are requested.  The reconstruction uses the exact
+    float inverse DCT and libjpeg's fancy (triangle) chroma upsampling, so
+    it matches a real libjpeg decode of the same bytes to ~1 u8 level RMS
+    (libjpeg's integer islow iDCT is itself an approximation of the same
+    float transform; test_tpujpeg.py pins the agreement).
+    """
+    tr = build_transform(height, width, subsampling)
+    cmat = jnp.asarray(dct8_matrix())
+    inv_zz = jnp.asarray(np.argsort(ZIGZAG))
+    zz = jnp.asarray(ZIGZAG)
+
+    def quantize_dev(dct_zz, q_zz, bias2d):
+        scaled = jnp.abs(dct_zz) / q_zz
+        b = jnp.broadcast_to(bias2d[..., None], scaled.shape)
+        b = b.at[..., 0].set(0.5)
+        qc = jnp.minimum(jnp.floor(scaled + b), 1023.0)
+        return (jnp.sign(dct_zz) * qc).astype(jnp.int16)
+
+    def reconstruct_plane(coef_zz_i16, q_zz):
+        deq = coef_zz_i16.astype(jnp.float32) * q_zz
+        nat = jnp.take(deq, inv_zz, axis=-1)
+        blocks = nat.reshape(*nat.shape[:-1], 8, 8)
+        return _unblockify(_idct_blocks(blocks, cmat)) + 128.0
+
+    def sweep(rgb_u8, qtabs, aq_strength):
+        planes = tr(rgb_u8)
+        s = jnp.asarray(aq_strength, jnp.float32)
+        # Same mapping as TpuJpegCodec._bias (kept in lockstep).
+        bias_y = jnp.clip(0.5 - s * planes["act_y"], 0.2, 0.5)
+        bias_c = jnp.clip(0.5 - s * planes["act_c"], 0.2, 0.5)
+
+        def one_quality(q2):
+            ql_zz = q2[0][zz]
+            qc_zz = q2[1][zz]
+            cy = quantize_dev(planes["dct_y"], ql_zz, bias_y)
+            ccb = quantize_dev(planes["dct_cb"], qc_zz, bias_c)
+            ccr = quantize_dev(planes["dct_cr"], qc_zz, bias_c)
+            y = reconstruct_plane(cy, ql_zz)
+            cb = reconstruct_plane(ccb, qc_zz)
+            cr = reconstruct_plane(ccr, qc_zz)
+            if subsampling == "420":
+                cb = _triangle_upsample2x(cb)
+                cr = _triangle_upsample2x(cr)
+            rgb = _ycbcr_to_rgb_u8(y, cb, cr)
+            return rgb[:height, :width, :], (cy, ccb, ccr)
+
+        cands, coefs = jax.vmap(one_quality)(qtabs)
+        return cands, {"y": coefs[0], "cb": coefs[1], "cr": coefs[2]}
+
+    return jax.jit(sweep)
+
+
 def quantize_blocks(
     dct_zz: np.ndarray,
     qtable_natural: np.ndarray,

@@ -154,6 +154,78 @@ def test_session_integration_and_registry():
     assert n >= 4 and "tpujpeg-420-aq" in ids and "tpujpeg-444" in ids
 
 
+def test_device_reconstruction_matches_libjpeg_decode():
+    """The on-device dequant+iDCT+upsample must agree with libjpeg's decode
+    of the bytes emitted from the SAME coefficients to ~1 u8 RMS (the
+    inter-decoder tolerance: float iDCT vs libjpeg integer islow)."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from codec_eval_tpu.utils import native
+
+    img = _photo(120, 94, seed=5)
+    for sub in ("444", "420"):
+        qualities = [50.0, 85.0]
+        qtabs = np.stack(
+            [np.stack(je.quality_to_qtables(q)).astype(np.float32) for q in qualities]
+        )
+        fn = je.build_reconstruct_sweep(120, 94, 2, sub)
+        cands, coefs = fn(jnp.asarray(img), jnp.asarray(qtabs), 0.3)
+        cands = np.asarray(cands)
+        for qi, q in enumerate(qualities):
+            ql, qc = je.quality_to_qtables(q)
+            data = native.jpeg_encode_baseline(
+                94, 120, sub,
+                np.asarray(coefs["y"][qi]),
+                np.asarray(coefs["cb"][qi]),
+                np.asarray(coefs["cr"][qi]),
+                ql[je.ZIGZAG], qc[je.ZIGZAG],
+            )
+            pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+            d = pil.astype(np.float64) - cands[qi].astype(np.float64)
+            assert float(np.sqrt(np.mean(d ** 2))) < 1.2
+            assert float(np.abs(d).max()) <= 4
+
+
+def test_tpu_sweep_consistent_with_byte_path():
+    """evaluate_tpujpeg_sweep's device-resident scores must track the
+    conventional path (encode bytes -> libjpeg decode -> score) closely,
+    and its sizes must be the real byte sizes."""
+    from codec_eval_tpu.engine.tpu_sweep import evaluate_tpujpeg_sweep
+    from codec_eval_tpu.kernels.ssimulacra2 import ssimulacra2
+    import jax.numpy as jnp
+
+    img = _photo(128, 128)
+    qualities = [50.0, 80.0, 95.0]
+    pts = evaluate_tpujpeg_sweep(img, qualities, aq_strength=0.30)
+    codec = TpuJpegCodec(adaptive=True, aq_strength=0.30)
+    byte_sweep = codec.encode_sweep(ImageData.rgb8(img), qualities)
+    for p, data in zip(pts, byte_sweep):
+        dec = codec.decode(data).to_rgb8()
+        s2_bytes = float(ssimulacra2(jnp.asarray(img), jnp.asarray(dec)))
+        assert abs(p.metrics["ssimulacra2"] - s2_bytes) < 0.6, (
+            p.quality, p.metrics["ssimulacra2"], s2_bytes
+        )
+        # Host and device quantize are independent float paths; identical
+        # tables/bias make the sizes agree to well under a percent.
+        assert abs(p.file_size - len(data)) <= max(0.01 * len(data), 8)
+    s2 = [p.metrics["ssimulacra2"] for p in pts]
+    bpp = [p.bits_per_pixel for p in pts]
+    assert s2 == sorted(s2) and bpp == sorted(bpp)
+
+
+def test_tpu_sweep_scores_only_mode():
+    from codec_eval_tpu.engine.tpu_sweep import evaluate_tpujpeg_sweep
+
+    img = _photo(64, 64)
+    pts = evaluate_tpujpeg_sweep(
+        img, [60.0, 90.0], metrics=("ssimulacra2",), with_sizes=False
+    )
+    assert pts[0].file_size is None and pts[0].bits_per_pixel is None
+    assert pts[1].metrics["ssimulacra2"] > pts[0].metrics["ssimulacra2"]
+    assert "butteraugli" not in pts[0].metrics
+
+
 def test_quantize_deadzone_and_dc_rounding():
     dct = np.zeros((1, 1, 64), dtype=np.float32)
     dct[0, 0, 0] = 17.4  # DC: 17.4 / 10 = 1.74 -> rounds to 2 regardless of bias
