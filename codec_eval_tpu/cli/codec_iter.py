@@ -21,7 +21,7 @@ from ..iter.baseline import (
     save_baseline,
 )
 from ..iter.codecs import AVIF_PRESETS, AvifIterConfig, JpegIterConfig, build_codec
-from ..iter.eval import run_eval
+from ..iter.eval import run_eval, run_eval_device
 from ..iter.source import load_sources
 from ..iter.sweep import print_sweep, run_sweep
 
@@ -46,6 +46,12 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         "--avif-preset", default="baseline", choices=sorted(AVIF_PRESETS)
     )
     p.add_argument("--no-progressive", action="store_true")
+    p.add_argument(
+        "--device-sweep",
+        action="store_true",
+        help="tpujpeg only: run the whole ladder (encode+decode+SSIM2) on "
+        "device; host only entropy-codes for exact sizes",
+    )
 
 
 def _print_eval(points, baseline) -> None:
@@ -79,22 +85,45 @@ def _print_eval(points, baseline) -> None:
 def cmd_eval(args) -> int:
     qualities = QUALITY_PRESETS[args.preset]
     images = load_sources(args.corpus, args.limit)
-    codec = build_codec(
-        args.format,
-        subsampling=args.subsampling,
-        progressive=not args.no_progressive,
-        preset=args.avif_preset,
-    )
-    print(f"eval: {codec.summary} on {len(images)} images x {len(qualities)} qualities")
-    result = run_eval(images, codec, qualities, progress=lambda s: print(f"  {s}"))
+    if args.device_sweep:
+        if args.format != "tpujpeg":
+            print("--device-sweep requires --format tpujpeg")
+            return 2
+        print(
+            f"eval: tpujpeg-{args.subsampling} DEVICE sweep on "
+            f"{len(images)} images x {len(qualities)} qualities"
+        )
+        result = run_eval_device(
+            images, qualities, subsampling=args.subsampling,
+            progress=lambda s: print(f"  {s}"),
+        )
+    else:
+        codec = build_codec(
+            args.format,
+            subsampling=args.subsampling,
+            progressive=not args.no_progressive,
+            preset=args.avif_preset,
+        )
+        print(
+            f"eval: {codec.summary} on {len(images)} images x "
+            f"{len(qualities)} qualities"
+        )
+        result = run_eval(
+            images, codec, qualities, progress=lambda s: print(f"  {s}")
+        )
     print(f"total: {result.total_ms} ms")
 
-    baseline = load_baseline(args.baseline_dir, codec.summary)
+    baseline = load_baseline(args.baseline_dir, result.config_summary)
     if baseline is None:
         # Auto-save on first run.  reference: main.rs:424-439.
         saved = save_baseline(
             args.baseline_dir,
-            make_baseline(codec.summary, codec.summary, str(args.corpus), result.points),
+            make_baseline(
+                result.config_summary,
+                result.config_summary,
+                str(args.corpus),
+                result.points,
+            ),
         )
         print(f"baseline saved: {saved}")
     _print_eval(result.points, baseline)
@@ -141,7 +170,12 @@ def cmd_baseline(args) -> int:
         result = run_eval(images, codec, qualities)
         saved = save_baseline(
             args.baseline_dir,
-            make_baseline(codec.summary, codec.summary, str(args.corpus), result.points),
+            make_baseline(
+                result.config_summary,
+                result.config_summary,
+                str(args.corpus),
+                result.points,
+            ),
         )
         print(f"baseline saved: {saved}")
         return 0

@@ -158,3 +158,49 @@ def run_eval(
     return EvalResult(
         config_summary=codec.summary, points=points, total_ms=total_ms
     )
+
+
+def run_eval_device(
+    images: Sequence[SourceImage],
+    qualities: Sequence[int],
+    subsampling: str = "420",
+    adaptive: bool = True,
+    progress: Optional[Callable[[str], None]] = None,
+) -> EvalResult:
+    """tpujpeg device-resident eval: the whole ladder (encode transform,
+    decode reconstruction, SSIM2 scoring) runs on device per image
+    (engine/tpu_sweep.py); the host only entropy-codes the coefficients
+    for exact sizes.  No analog in the reference — its loop round-trips
+    every candidate through host RAM (crates/codec-iter/src/eval.rs:151).
+    """
+    from ..engine.tpu_sweep import evaluate_tpujpeg_sweep
+
+    aq = 0.30 if adaptive else 0.0
+    summary = f"tpujpeg-{subsampling}-{'aq' if adaptive else 'plain'}-device"
+    t_start = time.perf_counter()
+    points: List[EvalPoint] = []
+    for i, src in enumerate(images):
+        t0 = time.perf_counter()
+        pts = evaluate_tpujpeg_sweep(
+            src.rgb,
+            [float(q) for q in qualities],
+            subsampling=subsampling,
+            aq_strength=aq,
+            metrics=("ssimulacra2",),
+        )
+        ladder_ms = int((time.perf_counter() - t0) * 1000)
+        for p in pts:
+            points.append(
+                EvalPoint(
+                    image=src.name,
+                    quality=int(p.quality),
+                    bpp=p.bits_per_pixel,
+                    ssim2=p.metrics["ssimulacra2"],
+                    size_bytes=p.file_size,
+                    encode_ms=ladder_ms // max(len(pts), 1),
+                )
+            )
+        if progress:
+            progress(f"[{i + 1}/{len(images)}] {src.name}")
+    total_ms = int((time.perf_counter() - t_start) * 1000)
+    return EvalResult(config_summary=summary, points=points, total_ms=total_ms)

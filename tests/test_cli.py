@@ -44,6 +44,31 @@ def test_codec_iter_eval(corpus, tmp_path):
     assert (tmp_path / "baselines" / "jpeg-420-ycbcr-prog.json").exists()
 
 
+def test_codec_iter_eval_device_sweep(corpus, tmp_path):
+    from codec_eval_tpu.codecs.tpujpeg import is_available as _tpujpeg
+    import json as _json
+    import pytest as _pytest
+
+    if not _tpujpeg():
+        _pytest.skip("native JPEG entropy coder not built")
+    rc = iter_main(
+        ["eval", "--corpus", str(corpus), "--limit", "2", "--preset", "quick",
+         "--format", "tpujpeg", "--device-sweep",
+         "--baseline-dir", str(tmp_path / "baselines")]
+    )
+    assert rc == 0
+    path = tmp_path / "baselines" / "tpujpeg-420-aq-device.json"
+    assert path.exists()
+    points = _json.loads(path.read_text())["points"]
+    assert len(points) == 2 * 3  # 2 images x quick ladder
+    assert all(p["size_bytes"] > 0 and 0 < p["ssim2"] <= 100 for p in points)
+    # --device-sweep only makes sense for tpujpeg.
+    assert iter_main(
+        ["eval", "--corpus", str(corpus), "--format", "jpeg", "--device-sweep",
+         "--baseline-dir", str(tmp_path / "b2")]
+    ) == 2
+
+
 def test_codec_eval_corpus_and_stats(corpus, tmp_path, capsys):
     assert eval_main(["corpus", "discover", str(corpus)]) == 0
     assert "2 images" in capsys.readouterr().out
