@@ -156,6 +156,64 @@ RDCalibration(
 )'''
 
 
+def sweep_corpus_device(
+    corpus: Corpus,
+    qualities: List[int],
+    subsampling: str = "420",
+    limit: int = 0,
+    progress=print,
+) -> Dict[int, List[Tuple[float, float, float]]]:
+    """Device-resident calibration sweep: the entire encode/decode/score
+    inner loop of the reference's rd_calibrate hot path
+    (rd_calibrate.rs:184-216) runs on the mesh via the tpujpeg ladder
+    runner (parallel/ladder_runner.py); images are grouped by shape (one
+    SPMD program per shape)."""
+    from collections import defaultdict
+
+    from ..parallel.ladder_runner import sweep_corpus_ladders
+
+    images = corpus.images[:limit] if limit else corpus.images
+    by_shape: Dict[Tuple[int, int], list] = defaultdict(list)
+    for corpus_image in images:
+        path = corpus_image.full_path(corpus.root_path)
+        try:
+            from PIL import Image
+
+            rgb = np.asarray(Image.open(path).convert("RGB"))
+        except Exception as e:  # noqa: BLE001 - skip-and-continue policy
+            progress(f"  SKIP {corpus_image.relative_path}: {e}")
+            continue
+        by_shape[rgb.shape[:2]].append(rgb)
+
+    by_quality: Dict[int, List[Tuple[float, float, float]]] = {
+        q: [] for q in qualities
+    }
+    done = 0
+    total = sum(len(v) for v in by_shape.values())
+    for (h, w), rgbs in by_shape.items():
+        res = sweep_corpus_ladders(
+            rgbs,
+            [float(q) for q in qualities],
+            subsampling=subsampling,
+            metrics=("ssimulacra2", "butteraugli"),
+        )
+        s2 = res.scores["ssimulacra2"]
+        ba = res.scores["butteraugli"]
+        for ii in range(len(rgbs)):
+            for qi, q in enumerate(qualities):
+                if np.isfinite(s2[ii, qi]) and np.isfinite(ba[ii, qi]):
+                    by_quality[q].append(
+                        (
+                            float(res.bits_per_pixel[ii, qi]),
+                            float(s2[ii, qi]),
+                            float(ba[ii, qi]),
+                        )
+                    )
+        done += len(rgbs)
+        progress(f"  [{done}/{total}] {h}x{w} group ({len(rgbs)} images)")
+    return by_quality
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="rd-calibrate")
     parser.add_argument("corpus", type=Path)
@@ -164,27 +222,51 @@ def main(argv=None) -> int:
     parser.add_argument("--subsampling", default="420")
     parser.add_argument("--limit", type=int, default=0)
     parser.add_argument("--output", type=Path, default=Path("./rd_calibration"))
+    parser.add_argument(
+        "--device-sweep",
+        action="store_true",
+        help="tpujpeg only: run the whole calibration sweep (encode, "
+        "decode, score) on the device mesh",
+    )
     args = parser.parse_args(argv)
 
     try:
         qualities = parse_range(args.range)
-        codec = build_codec(args.format, subsampling=args.subsampling)
+        if args.device_sweep and args.format != "tpujpeg":
+            print("error: --device-sweep requires --format tpujpeg",
+                  file=sys.stderr)
+            return 2
+        codec = (
+            None
+            if args.device_sweep
+            else build_codec(args.format, subsampling=args.subsampling)
+        )
         corpus = Corpus.discover(args.corpus)
     except CodecEvalError as e:
         print(f"error: {e}", file=sys.stderr)
         return 1
 
-    print(f"rd-calibrate: {codec.summary} x {len(qualities)} qualities "
+    summary = (
+        f"tpujpeg-{args.subsampling}-aq-device"
+        if args.device_sweep
+        else codec.summary
+    )
+    print(f"rd-calibrate: {summary} x {len(qualities)} qualities "
           f"on {len(corpus)} images")
     t0 = time.perf_counter()
-    by_quality = sweep_corpus(corpus, codec, qualities, limit=args.limit)
+    if args.device_sweep:
+        by_quality = sweep_corpus_device(
+            corpus, qualities, subsampling=args.subsampling, limit=args.limit
+        )
+    else:
+        by_quality = sweep_corpus(corpus, codec, qualities, limit=args.limit)
     curve = aggregate_curve(by_quality)
     if len(curve) < 3:
         print("error: not enough data for knee detection", file=sys.stderr)
         return 1
 
     image_count = max(len(v) for v in by_quality.values())
-    agg = CorpusAggregate(corpus.name, codec.summary, curve, image_count)
+    agg = CorpusAggregate(corpus.name, summary, curve, image_count)
     cal = agg.calibrate(WEB_FRAME)
     if cal is None:
         print("error: knee detection failed", file=sys.stderr)
@@ -199,9 +281,9 @@ def main(argv=None) -> int:
 
     args.output.mkdir(parents=True, exist_ok=True)
     svg = plot_rd_svg(curve, WEB_FRAME, cal,
-                      title=f"R-D: {codec.summary} on {corpus.name}")
+                      title=f"R-D: {summary} on {corpus.name}")
     (args.output / "rd_curve.svg").write_text(svg)
-    code = emit_calibration_code(cal, corpus.name, codec.summary)
+    code = emit_calibration_code(cal, corpus.name, summary)
     (args.output / "calibration.py").write_text(code + "\n")
     print(f"\nwrote {args.output}/rd_curve.svg and calibration.py")
     print("\n" + code)

@@ -15,6 +15,10 @@ from .corpus_runner import CorpusScores, score_pairs_sharded
 
 __all__ += ["CorpusScores", "score_pairs_sharded"]
 
+from .ladder_runner import CorpusLadders, sweep_corpus_ladders
+
+__all__ += ["CorpusLadders", "sweep_corpus_ladders"]
+
 from . import multihost
 
 __all__ += ["multihost"]

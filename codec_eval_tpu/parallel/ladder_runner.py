@@ -1,0 +1,166 @@
+"""Corpus-scale device-resident tpujpeg ladders over the mesh.
+
+The multi-chip form of engine/tpu_sweep.py: a batch of same-size images is
+sharded over the mesh's batch axis; each device encodes, decodes, and
+scores its images' full quality ladders locally (shard_map — per-shard
+shapes equal the single-image path, so the Pallas kernels run unchanged),
+and only quantized coefficients return to the host, where the native
+Huffman coder produces exact byte sizes.
+
+This is the TPU-native replacement for the reference's calibration
+pipeline hot path — rayon threads fanning mozjpeg encodes + CPU metric
+kernels over a corpus (reference: crates/codec-compare/src/rd_calibrate.rs:
+184-216) — with the whole encode/decode/score inner loop on the
+accelerator and ICI collectives in place of thread joins for the corpus
+means.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .mesh import make_mesh
+
+__all__ = ["CorpusLadders", "sweep_corpus_ladders"]
+
+
+@dataclass
+class CorpusLadders:
+    """Ladder scores/sizes for N images x n_q qualities (input order)."""
+
+    qualities: List[float]
+    scores: Dict[str, np.ndarray]  # metric -> (N, n_q)
+    sizes: Optional[np.ndarray]  # (N, n_q) int64 bytes, or None
+    bits_per_pixel: Optional[np.ndarray]  # (N, n_q), or None
+
+    def mean_curve(self, metric: str) -> List[tuple]:
+        """Corpus-mean (bpp, score) curve per quality — the rd-calibrate
+        aggregation (reference: rd_calibrate.rs:240-260)."""
+        if self.bits_per_pixel is None:
+            raise ValueError("sizes were not computed (with_sizes=False)")
+        m = self.scores[metric]
+        return [
+            (float(self.bits_per_pixel[:, qi].mean()), float(m[:, qi].mean()))
+            for qi in range(m.shape[1])
+        ]
+
+
+def sweep_corpus_ladders(
+    images: Sequence[np.ndarray],
+    qualities: Sequence[float],
+    mesh=None,
+    subsampling: str = "420",
+    aq_strength: float = 0.30,
+    metrics: Sequence[str] = ("dssim", "ssimulacra2", "butteraugli", "psnr"),
+    with_sizes: bool = True,
+    images_per_chunk: int = 8,
+) -> CorpusLadders:
+    """Evaluate tpujpeg quality ladders for a same-size image corpus.
+
+    Images are processed in chunks of ``images_per_chunk`` (padded by
+    repeating the last image up to a batch-axis multiple; padding rows are
+    dropped from the result), so coefficient memory stays bounded while the
+    device pipeline stays busy.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..engine.scoring import _build_chunk_scorer, _build_precompute
+    from ..engine.tpu_sweep import _qtabs_for
+    from ..kernels import jpeg_enc as _je
+    from ..utils import native as _native
+
+    if mesh is None:
+        mesh = make_mesh(n_space=1)
+    n_batch = int(mesh.devices.shape[0])
+    if not images:
+        raise ValueError("no images")
+    h, w = images[0].shape[:2]
+    for im in images:
+        if im.shape[:2] != (h, w):
+            raise ValueError("sweep_corpus_ladders requires same-size images")
+    n_q = len(qualities)
+    want = {m: m in metrics for m in ("dssim", "ssimulacra2", "butteraugli", "psnr")}
+
+    recon = _je.build_reconstruct_sweep(h, w, n_q, subsampling)
+    pre_fn = _build_precompute(
+        h, w, want["dssim"], want["ssimulacra2"], want["butteraugli"], False
+    )
+    scorer = _build_chunk_scorer(
+        h, w, n_q,
+        want["dssim"], want["ssimulacra2"], want["butteraugli"], want["psnr"],
+    )
+    qtabs = jnp.asarray(_qtabs_for(qualities))
+    aq = jnp.float32(aq_strength)
+
+    # Per-chunk SPMD step: each device loops its local images with the
+    # exact single-image programs (no extra batch rank on the kernels).
+    chunk_n = max(images_per_chunk, n_batch)
+    chunk_n = ((chunk_n + n_batch - 1) // n_batch) * n_batch
+    n_local = chunk_n // n_batch
+
+    def local_ladders(imgs_local):
+        score_rows = []
+        coef_rows = []
+        for i in range(n_local):
+            img = imgs_local[i]
+            cands, coefs = recon(img, qtabs, aq)
+            score_rows.append(scorer(pre_fn(img), cands))
+            coef_rows.append(coefs)
+        scores = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *score_rows
+        )
+        coefs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *coef_rows)
+        return scores, coefs
+
+    spec_in = P("batch", None, None, None)
+    step = jax.jit(
+        shard_map(
+            local_ladders,
+            mesh=mesh,
+            in_specs=(spec_in,),
+            out_specs=(P("batch"), P("batch")),
+            check_rep=False,
+        )
+    )
+
+    n = len(images)
+    all_scores: Dict[str, List[np.ndarray]] = {}
+    sizes = np.zeros((n, n_q), dtype=np.int64) if with_sizes else None
+    qt_zz = [
+        tuple(t[_je.ZIGZAG] for t in _je.quality_to_qtables(q)) for q in qualities
+    ]
+
+    for start in range(0, n, chunk_n):
+        chunk = list(images[start : start + chunk_n])
+        real = len(chunk)
+        while len(chunk) < chunk_n:
+            chunk.append(chunk[-1])
+        scores, coefs = step(jnp.asarray(np.stack(chunk)))
+        host_scores = {k: np.asarray(v) for k, v in scores.items()}
+        for k, v in host_scores.items():
+            all_scores.setdefault(k, []).append(v[:real])
+        if with_sizes:
+            cy = np.asarray(coefs["y"])
+            ccb = np.asarray(coefs["cb"])
+            ccr = np.asarray(coefs["cr"])
+            for ii in range(real):
+                for qi in range(n_q):
+                    ql, qc = qt_zz[qi]
+                    data = _native.jpeg_encode_baseline(
+                        w, h, subsampling,
+                        cy[ii, qi], ccb[ii, qi], ccr[ii, qi], ql, qc,
+                    )
+                    sizes[start + ii, qi] = len(data)
+
+    return CorpusLadders(
+        qualities=[float(q) for q in qualities],
+        scores={k: np.concatenate(v) for k, v in all_scores.items()},
+        sizes=sizes,
+        bits_per_pixel=(sizes * 8.0 / (h * w)) if with_sizes else None,
+    )
