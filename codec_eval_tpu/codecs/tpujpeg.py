@@ -78,12 +78,18 @@ class TpuJpegCodec(CodecImpl):
         subsampling: str = "420",
         adaptive: bool = True,
         aq_strength: float = 0.30,
+        colorspace: str = "ycbcr",
     ):
         if subsampling not in ("420", "444"):
             raise CodecError("tpujpeg", f"unsupported subsampling {subsampling!r}")
+        if colorspace not in ("ycbcr", "xyb"):
+            raise CodecError("tpujpeg", f"unsupported colorspace {colorspace!r}")
+        if colorspace == "xyb":
+            subsampling = "444"  # XYB mode is 4:4:4 only
         self.subsampling = subsampling
         self.adaptive = adaptive
         self.aq_strength = float(aq_strength)
+        self.colorspace = colorspace
         # One-slot transform memo: the session sweeps qualities per image,
         # so consecutive encode() calls see the same pixels (keyed by FNV
         # of the raw bytes to stay correct if they do not).
@@ -95,6 +101,8 @@ class TpuJpegCodec(CodecImpl):
 
     def id(self) -> str:
         aq = "-aq" if self.adaptive else ""
+        if self.colorspace == "xyb":
+            return f"tpujpeg-xyb{aq}"
         return f"tpujpeg-{self.subsampling}{aq}"
 
     def version(self) -> str:
@@ -120,7 +128,23 @@ class TpuJpegCodec(CodecImpl):
             img = Image.open(io.BytesIO(data)).convert("RGB")
         except Exception as exc:  # pragma: no cover - PIL error taxonomy
             raise CodecError(self.id(), f"decode failed: {exc}") from exc
-        return ImageData.rgb8(np.asarray(img))
+        arr = np.asarray(img)
+        if self.colorspace == "xyb":
+            # Adobe transform-0 passthrough: channels are [0,255]-scaled
+            # (Y, X, B); invert on device (the exact reconstruct path).
+            import jax.numpy as jnp
+
+            from ..kernels.jpeg_enc import _scaled_xyb_to_rgb_u8
+
+            planes = arr.astype(np.float32)
+            arr = np.asarray(
+                _scaled_xyb_to_rgb_u8(
+                    jnp.asarray(planes[..., 0]),
+                    jnp.asarray(planes[..., 1]),
+                    jnp.asarray(planes[..., 2]),
+                )
+            )
+        return ImageData.rgb8(arr)
 
     # -- sweep API ----------------------------------------------------------
 
@@ -140,10 +164,17 @@ class TpuJpegCodec(CodecImpl):
         with self._memo_lock:
             if key == self._memo_key and self._memo_val is not None:
                 return self._memo_val
-        val = _je.jpeg_transform(rgb, self.subsampling)
+        val = _je.jpeg_transform(rgb, self.subsampling, self.colorspace)
         with self._memo_lock:
             self._memo_key, self._memo_val = key, val
         return val
+
+    def _qtables(self, quality: float):
+        if self.colorspace == "xyb":
+            return _je.quality_to_qtables(
+                quality, _je.XYB_LUMA_BASE, _je.XYB_CHROMA_BASE
+            )
+        return _je.quality_to_qtables(quality)
 
     def _bias(self, act: np.ndarray) -> np.ndarray | float:
         if not self.adaptive:
@@ -153,13 +184,14 @@ class TpuJpegCodec(CodecImpl):
     def _encode_from_transform(
         self, tr: Dict[str, np.ndarray], width: int, height: int, quality: float
     ) -> bytes:
-        ql, qc = _je.quality_to_qtables(quality)
+        ql, qc = self._qtables(quality)
         qy = _je.quantize_blocks(tr["dct_y"], ql, self._bias(tr["act_y"]))
         qcb = _je.quantize_blocks(tr["dct_cb"], qc, self._bias(tr["act_c"]))
         qcr = _je.quantize_blocks(tr["dct_cr"], qc, self._bias(tr["act_c"]))
         return _native.jpeg_encode_baseline(
             width, height, self.subsampling,
             qy, qcb, qcr, ql[_je.ZIGZAG], qc[_je.ZIGZAG],
+            app_mode=1 if self.colorspace == "xyb" else 0,
         )
 
     @classmethod
@@ -171,4 +203,5 @@ class TpuJpegCodec(CodecImpl):
             cls(subsampling="444", adaptive=True),
             cls(subsampling="420", adaptive=False),
             cls(subsampling="444", adaptive=False),
+            cls(colorspace="xyb", adaptive=True),
         ]

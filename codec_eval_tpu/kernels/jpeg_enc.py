@@ -92,6 +92,34 @@ ANNEX_K_CHROMA = np.array(
 )
 
 
+#: Base quantization tables for the XYB colorspace mode (channel order
+#: Y, X, B-Y after the [0,255] range scaling).  XYB is already perceptually
+#: uniformized by the opsin cube root, so the CSF slope baked into Annex K
+#: over-quantizes XYB high frequencies; these use a flattened profile
+#: (sqrt of Annex-K luma, rescaled to the same DC step).  The X/(B-Y)
+#: table is the same shape scaled up 1.6x.  Selected by BD-rate scan
+#: (2026-08-18, SSIMULACRA2 vs PIL 4:4:4 optimized, 512px): this pairing
+#: measured -27% on the noisy corpus and +3.8% on the clean corpus — the
+#: best clean-corpus candidate (finer variants reached -34% noisy but
+#: +13..+41% clean).  Two structural notes: storing B decorrelated as B-Y
+#: was worth ~55 BD-rate points on clean content (raw B double-quantizes
+#: luminance), and the residual clean-corpus gap vs YCbCr is the 8-bit
+#: baseline container's floor-level precision, which jpegli proper works
+#: around with decoder-side machinery a standard JPEG decoder lacks.
+XYB_LUMA_BASE = np.clip(
+    np.sqrt(ANNEX_K_LUMA) * 4.0, 1.0, 255.0
+).astype(np.float64)
+XYB_CHROMA_BASE = np.clip(XYB_LUMA_BASE * 1.6, 1.0, 255.0).astype(np.float64)
+
+#: [0,255] scaling ranges for the XYB-mode channels in bitstream order
+#: (Y, X, B-Y).  Y/X are the empirical sRGB opsin ranges (xyb.rs:185-190);
+#: B-Y was measured over the sRGB cube (52^3 grid): [-0.278, 0.388],
+#: padded.  B is stored decorrelated (B-Y), matching jpegli's layout.
+XYB_ENC_RANGES = np.array(
+    [[0.0, 0.846], [-0.016, 0.029], [-0.29, 0.40]], dtype=np.float32
+)
+
+
 def dct8_matrix() -> np.ndarray:
     """Orthonormal 8-point DCT-II matrix C with C[u, x] = s(u) cos((2x+1)u pi/16).
 
@@ -177,7 +205,9 @@ def _activity_field(y_plane: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.lru_cache(maxsize=32)
-def build_transform(height: int, width: int, subsampling: str = "420"):
+def build_transform(
+    height: int, width: int, subsampling: str = "420", colorspace: str = "ycbcr"
+):
     """Jitted quality-independent JPEG analysis for one image shape.
 
     Returns a function rgb_u8 (H, W, 3) -> dict of
@@ -187,19 +217,49 @@ def build_transform(height: int, width: int, subsampling: str = "420"):
       act_c   (byC, bxC) activity of the chroma block grid (from Y)
     Block grids are padded to full MCUs (16x16 luma pixels for 4:2:0,
     8x8 for 4:4:4) by edge replication, as the entropy coder requires.
+
+    colorspace="xyb" (the jpegli-signature mode the reference's zenjpeg
+    exposes, crates/codec-iter/src/config.rs:5-67): channels are the JPEG XL
+    opsin XYB values scaled to [0, 255] by the empirical sRGB ranges
+    (kernels/color.py XYB_RANGES), stored in (Y, X, B) order so the
+    brightness-like channel takes the luma quantization table.  XYB
+    requires 4:4:4 and the Adobe-transform-0 bitstream flavor (the decoder
+    must not apply the YCbCr inverse).
     """
     if subsampling not in ("420", "444"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if colorspace not in ("ycbcr", "xyb"):
+        raise ValueError(f"unsupported colorspace {colorspace!r}")
+    if colorspace == "xyb" and subsampling != "444":
+        raise ValueError("xyb colorspace requires 4:4:4")
     cmat = jnp.asarray(dct8_matrix())
     zz = jnp.asarray(ZIGZAG)
 
     def transform(rgb_u8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-        rgb = rgb_u8.astype(jnp.float32)
-        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
-        # JFIF YCbCr (BT.601 full range), T.871 section 7.
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+        if colorspace == "xyb":
+            from .color import linear_rgb_to_xyb, srgb_u8_to_linear
+
+            xyb = linear_rgb_to_xyb(srgb_u8_to_linear(rgb_u8))
+            # (Y, X, B-Y): brightness first (luma table + activity source);
+            # B is stored decorrelated from Y, as jpegli does — raw B
+            # duplicates Y for neutrals, so quantizing it independently
+            # would double-quantize luminance.
+            y = (xyb[..., 1] - XYB_ENC_RANGES[0, 0]) / (
+                XYB_ENC_RANGES[0, 1] - XYB_ENC_RANGES[0, 0]
+            ) * 255.0
+            cb = (xyb[..., 0] - XYB_ENC_RANGES[1, 0]) / (
+                XYB_ENC_RANGES[1, 1] - XYB_ENC_RANGES[1, 0]
+            ) * 255.0
+            cr = (xyb[..., 2] - xyb[..., 1] - XYB_ENC_RANGES[2, 0]) / (
+                XYB_ENC_RANGES[2, 1] - XYB_ENC_RANGES[2, 0]
+            ) * 255.0
+        else:
+            rgb = rgb_u8.astype(jnp.float32)
+            r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+            # JFIF YCbCr (BT.601 full range), T.871 section 7.
+            y = 0.299 * r + 0.587 * g + 0.114 * b
+            cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+            cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
 
         mcu = 16 if subsampling == "420" else 8
         y = _pad_edge_2d(y, mcu)
@@ -240,11 +300,11 @@ def build_transform(height: int, width: int, subsampling: str = "420"):
 
 
 def jpeg_transform(
-    rgb_u8: np.ndarray, subsampling: str = "420"
+    rgb_u8: np.ndarray, subsampling: str = "420", colorspace: str = "ycbcr"
 ) -> Dict[str, np.ndarray]:
     """Host entry: run the device transform and fetch the planes."""
     h, w = rgb_u8.shape[:2]
-    out = build_transform(h, w, subsampling)(jnp.asarray(rgb_u8))
+    out = build_transform(h, w, subsampling, colorspace)(jnp.asarray(rgb_u8))
     return {k: np.asarray(v) for k, v in out.items()}
 
 
@@ -279,6 +339,20 @@ def _triangle_upsample2x(plane: jnp.ndarray) -> jnp.ndarray:
     return axis_up(axis_up(plane).T).T
 
 
+def _scaled_xyb_to_rgb_u8(
+    y: jnp.ndarray, x: jnp.ndarray, bmy: jnp.ndarray
+) -> jnp.ndarray:
+    """Invert the [0,255]-scaled (Y, X, B-Y) planes back to sRGB u8."""
+    from .color import linear_to_srgb_u8, xyb_to_linear_rgb
+
+    r = jnp.asarray(XYB_ENC_RANGES)
+    yv = y / 255.0 * (r[0, 1] - r[0, 0]) + r[0, 0]
+    xv = x / 255.0 * (r[1, 1] - r[1, 0]) + r[1, 0]
+    bv = bmy / 255.0 * (r[2, 1] - r[2, 0]) + r[2, 0] + yv
+    xyb = jnp.stack([xv, yv, bv], axis=-1)
+    return linear_to_srgb_u8(xyb_to_linear_rgb(xyb))
+
+
 def _ycbcr_to_rgb_u8(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
     """JFIF (BT.601 full-range) inverse color transform -> (H, W, 3) u8."""
     cb = cb - 128.0
@@ -292,7 +366,11 @@ def _ycbcr_to_rgb_u8(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.nd
 
 @functools.lru_cache(maxsize=16)
 def build_reconstruct_sweep(
-    height: int, width: int, n_q: int, subsampling: str = "420"
+    height: int,
+    width: int,
+    n_q: int,
+    subsampling: str = "420",
+    colorspace: str = "ycbcr",
 ):
     """Jitted device-side decode of a whole quality ladder.
 
@@ -311,7 +389,7 @@ def build_reconstruct_sweep(
     (libjpeg's integer islow iDCT is itself an approximation of the same
     float transform; test_tpujpeg.py pins the agreement).
     """
-    tr = build_transform(height, width, subsampling)
+    tr = build_transform(height, width, subsampling, colorspace)
     cmat = jnp.asarray(dct8_matrix())
     inv_zz = jnp.asarray(np.argsort(ZIGZAG))
     zz = jnp.asarray(ZIGZAG)
@@ -348,7 +426,10 @@ def build_reconstruct_sweep(
             if subsampling == "420":
                 cb = _triangle_upsample2x(cb)
                 cr = _triangle_upsample2x(cr)
-            rgb = _ycbcr_to_rgb_u8(y, cb, cr)
+            if colorspace == "xyb":
+                rgb = _scaled_xyb_to_rgb_u8(y, cb, cr)
+            else:
+                rgb = _ycbcr_to_rgb_u8(y, cb, cr)
             return rgb[:height, :width, :], (cy, ccb, ccr)
 
         cands, coefs = jax.vmap(one_quality)(qtabs)

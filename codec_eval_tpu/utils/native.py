@@ -79,15 +79,15 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
             ]
-            if hasattr(lib, "ce_jpeg_encode_baseline"):
-                lib.ce_jpeg_encode_baseline.restype = ctypes.c_int64
-                lib.ce_jpeg_encode_baseline.argtypes = [
+            if hasattr(lib, "ce_jpeg_encode_baseline2"):
+                lib.ce_jpeg_encode_baseline2.restype = ctypes.c_int64
+                lib.ce_jpeg_encode_baseline2.argtypes = [
                     ctypes.c_uint16, ctypes.c_uint16, ctypes.c_int,
                     ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                     ctypes.c_uint32, ctypes.c_uint32,
                     ctypes.c_uint32, ctypes.c_uint32,
                     ctypes.c_void_p, ctypes.c_void_p,
-                    ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
                 ]
             _lib = lib
             return lib
@@ -182,7 +182,7 @@ def write_ppm(path, rgb: np.ndarray) -> None:
 
 def jpeg_entropy_available() -> bool:
     lib = _load()
-    return lib is not None and hasattr(lib, "ce_jpeg_encode_baseline")
+    return lib is not None and hasattr(lib, "ce_jpeg_encode_baseline2")
 
 
 def jpeg_encode_baseline(
@@ -194,15 +194,18 @@ def jpeg_encode_baseline(
     cr_coeffs: np.ndarray,
     qtab_luma_zz: np.ndarray,
     qtab_chroma_zz: np.ndarray,
+    app_mode: int = 0,
 ) -> bytes:
     """Entropy-code quantized zigzag coefficient planes into a baseline
-    JFIF bytestream with optimized Huffman tables (native/jpeg_entropy.cpp).
+    JPEG bytestream with optimized Huffman tables (native/jpeg_entropy.cpp).
 
     Coefficient planes are int16 (by, bx, 64); qtables are uint16[64] in
-    ZIGZAG order.  subsampling is "420" or "444".
+    ZIGZAG order.  subsampling is "420" or "444".  app_mode 0 emits a JFIF
+    (YCbCr) container; 1 emits Adobe APP14 transform-0 (channels pass
+    through undecoded — used by the XYB colorspace mode).
     """
     lib = _load()
-    if lib is None or not hasattr(lib, "ce_jpeg_encode_baseline"):
+    if lib is None or not hasattr(lib, "ce_jpeg_encode_baseline2"):
         raise RuntimeError(
             "native JPEG entropy coder unavailable; build with `make -C native`"
         )
@@ -213,12 +216,12 @@ def jpeg_encode_baseline(
     qc = np.ascontiguousarray(qtab_chroma_zz, dtype=np.uint16)
     cap = y.nbytes + cb.nbytes + cr.nbytes + (1 << 16)
     out = np.empty(cap, dtype=np.uint8)
-    n = lib.ce_jpeg_encode_baseline(
+    n = lib.ce_jpeg_encode_baseline2(
         width, height, 1 if subsampling == "420" else 0,
         y.ctypes.data, cb.ctypes.data, cr.ctypes.data,
         y.shape[0], y.shape[1], cb.shape[0], cb.shape[1],
         ql.ctypes.data, qc.ctypes.data,
-        out.ctypes.data, cap,
+        out.ctypes.data, cap, int(app_mode),
     )
     if n < 0:
         raise RuntimeError("ce_jpeg_encode_baseline failed (buffer/args)")

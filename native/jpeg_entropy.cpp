@@ -246,12 +246,15 @@ extern "C" {
 // Returns bytes written, or -1 on buffer overflow / bad args.
 // Coefficients and qtables are zigzag-order; subsampling: 0=4:4:4, 1=4:2:0.
 // For 4:2:0, by_y/bx_y must be even and by_c = by_y/2, bx_c = bx_y/2.
-int64_t ce_jpeg_encode_baseline(
+// app_mode: 0 = JFIF APP0 (channels are YCbCr); 1 = Adobe APP14 with
+// transform 0 (channels pass through undecoded — the container for the
+// XYB colorspace mode, whose channels must not get the YCbCr inverse).
+int64_t ce_jpeg_encode_baseline2(
     uint16_t width, uint16_t height, int subsampling,
     const int16_t* y_coeffs, const int16_t* cb_coeffs, const int16_t* cr_coeffs,
     uint32_t by_y, uint32_t bx_y, uint32_t by_c, uint32_t bx_c,
     const uint16_t* qtab_luma_zz, const uint16_t* qtab_chroma_zz,
-    uint8_t* out, size_t out_cap) {
+    uint8_t* out, size_t out_cap, int app_mode) {
     if (!y_coeffs || !cb_coeffs || !cr_coeffs || !out) return -1;
     int sf = subsampling == 1 ? 2 : 1;
     if (by_y != by_c * sf || bx_y != bx_c * sf) return -1;
@@ -279,15 +282,27 @@ int64_t ce_jpeg_encode_baseline(
     BitWriter bw{out, out_cap, 0, 0, 0, false};
 
     put_marker(&bw, 0xD8);  // SOI
-    // APP0 JFIF 1.1, 1:1 aspect, no thumbnail.
-    put_marker(&bw, 0xE0);
-    put_u16(&bw, 16);
-    const uint8_t jfif[5] = {'J', 'F', 'I', 'F', 0};
-    for (uint8_t b : jfif) bw.put_byte(b);
-    bw.put_byte(1); bw.put_byte(1);       // version 1.1
-    bw.put_byte(0);                       // units: aspect only
-    put_u16(&bw, 1); put_u16(&bw, 1);     // density
-    bw.put_byte(0); bw.put_byte(0);       // thumbnail
+    if (app_mode == 1) {
+        // Adobe APP14, transform 0: decoders leave the 3 channels as-is.
+        put_marker(&bw, 0xEE);
+        put_u16(&bw, 14);
+        const uint8_t adobe[5] = {'A', 'd', 'o', 'b', 'e'};
+        for (uint8_t b : adobe) bw.put_byte(b);
+        put_u16(&bw, 100);                // DCTEncodeVersion
+        put_u16(&bw, 0);                  // flags0
+        put_u16(&bw, 0);                  // flags1
+        bw.put_byte(0);                   // transform: none
+    } else {
+        // APP0 JFIF 1.1, 1:1 aspect, no thumbnail.
+        put_marker(&bw, 0xE0);
+        put_u16(&bw, 16);
+        const uint8_t jfif[5] = {'J', 'F', 'I', 'F', 0};
+        for (uint8_t b : jfif) bw.put_byte(b);
+        bw.put_byte(1); bw.put_byte(1);   // version 1.1
+        bw.put_byte(0);                   // units: aspect only
+        put_u16(&bw, 1); put_u16(&bw, 1); // density
+        bw.put_byte(0); bw.put_byte(0);   // thumbnail
+    }
 
     for (int i = 0; i < 2; ++i) {         // DQT
         put_marker(&bw, 0xDB);
@@ -334,6 +349,19 @@ int64_t ce_jpeg_encode_baseline(
 
     if (bw.overflow) return -1;
     return int64_t(bw.pos);
+}
+
+// Original entry point (JFIF container).
+int64_t ce_jpeg_encode_baseline(
+    uint16_t width, uint16_t height, int subsampling,
+    const int16_t* y_coeffs, const int16_t* cb_coeffs, const int16_t* cr_coeffs,
+    uint32_t by_y, uint32_t bx_y, uint32_t by_c, uint32_t bx_c,
+    const uint16_t* qtab_luma_zz, const uint16_t* qtab_chroma_zz,
+    uint8_t* out, size_t out_cap) {
+    return ce_jpeg_encode_baseline2(
+        width, height, subsampling, y_coeffs, cb_coeffs, cr_coeffs,
+        by_y, bx_y, by_c, bx_c, qtab_luma_zz, qtab_chroma_zz,
+        out, out_cap, 0);
 }
 
 }  // extern "C"

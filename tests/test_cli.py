@@ -96,12 +96,13 @@ def test_codec_compare_run(corpus, tmp_path):
     assert (out / "pareto.json").exists()
     with open(out / "smoke.csv") as f:
         rows = list(csv.reader(f))
-    # 2 images x (4 jpeg + 4 tpujpeg variants) x 2 qualities + header.
+    # 2 images x (4 jpeg + 5 tpujpeg variants) x 2 qualities + header.
     # (the jpeg format selection includes the zenjpeg slot, which tpujpeg
     # fills when the native entropy coder is present)
+    from codec_eval_tpu.codecs.tpujpeg import TpuJpegCodec
     from codec_eval_tpu.codecs.tpujpeg import is_available as _tpujpeg
 
-    n_codecs = 8 if _tpujpeg() else 4
+    n_codecs = 4 + (len(TpuJpegCodec.presets()) if _tpujpeg() else 0)
     assert len(rows) == 1 + 2 * n_codecs * 2
 
 

@@ -226,6 +226,50 @@ def test_tpu_sweep_scores_only_mode():
     assert "butteraugli" not in pts[0].metrics
 
 
+def test_xyb_mode_roundtrip_and_container():
+    """XYB mode: Adobe transform-0 container, decodable by our adapter
+    (PIL passthrough + device inversion), near-lossless at q95."""
+    img = _photo(96, 96)
+    codec = TpuJpegCodec(colorspace="xyb")
+    assert codec.id() == "tpujpeg-xyb-aq"
+    assert codec.subsampling == "444"
+    data = codec.encode(ImageData.rgb8(img), EncodeRequest(95.0))
+    # Adobe APP14 marker, no JFIF.
+    assert data[2:4] == b"\xff\xee" and data[6:11] == b"Adobe"
+    assert b"JFIF" not in data[:32]
+    dec = codec.decode(data).to_rgb8()
+    rms = float(np.sqrt(np.mean((dec.astype(np.float64) - img) ** 2)))
+    assert rms < 6.0, rms
+    # Quality monotonicity through the same path.
+    sweep = codec.encode_sweep(ImageData.rgb8(img), [40.0, 70.0, 95.0])
+    assert [len(d) for d in sweep] == sorted(len(d) for d in sweep)
+
+
+def test_xyb_device_reconstruction_matches_decode():
+    """The device reconstruct path and the bytes->PIL->invert path must
+    agree (same quantized planes, same inversion)."""
+    import jax.numpy as jnp
+
+    img = _photo(64, 64)
+    qualities = [60.0, 90.0]
+    qtabs = np.stack(
+        [
+            np.stack(
+                je.quality_to_qtables(q, je.XYB_LUMA_BASE, je.XYB_CHROMA_BASE)
+            ).astype(np.float32)
+            for q in qualities
+        ]
+    )
+    fn = je.build_reconstruct_sweep(64, 64, 2, "444", "xyb")
+    cands, _ = fn(jnp.asarray(img), jnp.asarray(qtabs), 0.3)
+    codec = TpuJpegCodec(colorspace="xyb", adaptive=True)
+    sweep = codec.encode_sweep(ImageData.rgb8(img), qualities)
+    for qi in range(2):
+        dec = codec.decode(sweep[qi]).to_rgb8()
+        d = dec.astype(np.float64) - np.asarray(cands[qi]).astype(np.float64)
+        assert float(np.sqrt(np.mean(d ** 2))) < 1.2
+
+
 def test_quantize_deadzone_and_dc_rounding():
     dct = np.zeros((1, 1, 64), dtype=np.float32)
     dct[0, 0, 0] = 17.4  # DC: 17.4 / 10 = 1.74 -> rounds to 2 regardless of bias

@@ -34,6 +34,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--aq-scan", action="store_true")
     parser.add_argument("--subsampling", default="420", choices=["420", "444"])
+    parser.add_argument("--colorspace", default="ycbcr", choices=["ycbcr", "xyb"])
     args = parser.parse_args()
 
     import jax
@@ -49,6 +50,8 @@ def main() -> None:
     from codec_eval_tpu.stats.summary import bd_rate
 
     refs = [_photo(SIZE, SIZE, 40 + i) for i in range(N_IMAGES)]
+    if args.colorspace == "xyb":
+        args.subsampling = "444"
     pil_sub = 2 if args.subsampling == "420" else 0
 
     def pil_encode(img: np.ndarray, q: int) -> bytes:
@@ -58,14 +61,19 @@ def main() -> None:
         )
         return buf.getvalue()
 
-    def curve(encodes: list[bytes], ref: np.ndarray) -> list[tuple[float, float]]:
-        """[(bpp, ssim2)] for one image's quality ladder."""
-        decs = np.stack(
-            [
-                np.asarray(Image.open(io.BytesIO(d)).convert("RGB"))
-                for d in encodes
-            ]
-        )
+    def curve(encodes: list[bytes], ref: np.ndarray, decoder=None) -> list[tuple[float, float]]:
+        """[(bpp, ssim2)] for one image's quality ladder.  ``decoder``
+        defaults to plain PIL; pass the codec's decode for modes whose
+        channels need postprocessing (XYB)."""
+        if decoder is None:
+            decs = np.stack(
+                [
+                    np.asarray(Image.open(io.BytesIO(d)).convert("RGB"))
+                    for d in encodes
+                ]
+            )
+        else:
+            decs = np.stack([decoder(d).to_rgb8() for d in encodes])
         scores = np.asarray(ssimulacra2_batch(jnp.asarray(ref), jnp.asarray(decs)))
         bpp = [len(d) * 8.0 / (SIZE * SIZE) for d in encodes]
         return list(zip(bpp, scores.tolist()))
@@ -77,6 +85,7 @@ def main() -> None:
             test = curve(
                 codec.encode_sweep(ImageData.rgb8(ref), [float(q) for q in QUALITIES]),
                 ref,
+                decoder=codec.decode,
             )
             d = bd_rate(base, test)
             if d is not None:
@@ -86,13 +95,17 @@ def main() -> None:
     if args.aq_scan:
         for s in (0.0, 0.15, 0.22, 0.30, 0.38, 0.45):
             codec = TpuJpegCodec(
-                subsampling=args.subsampling, adaptive=s > 0, aq_strength=s
+                subsampling=args.subsampling, adaptive=s > 0, aq_strength=s,
+                colorspace=args.colorspace,
             )
             print(f"aq_strength={s:4.2f}: BD-rate vs PIL = {mean_bd(codec):+6.2f}%")
         return
 
     for adaptive in (False, True):
-        codec = TpuJpegCodec(subsampling=args.subsampling, adaptive=adaptive)
+        codec = TpuJpegCodec(
+            subsampling=args.subsampling, adaptive=adaptive,
+            colorspace=args.colorspace,
+        )
         label = codec.id()
         print(f"{label}: BD-rate (SSIMULACRA2) vs PIL {args.subsampling} "
               f"optimized = {mean_bd(codec):+6.2f}%")
