@@ -47,6 +47,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     )
     p.add_argument("--no-progressive", action="store_true")
     p.add_argument(
+        "--xyb", action="store_true",
+        help="tpujpeg only: encode in the XYB opsin colorspace",
+    )
+    p.add_argument(
         "--device-sweep",
         action="store_true",
         help="tpujpeg only: run the whole ladder (encode+decode+SSIM2) on "
@@ -103,6 +107,7 @@ def cmd_eval(args) -> int:
             subsampling=args.subsampling,
             progressive=not args.no_progressive,
             preset=args.avif_preset,
+            xyb=args.xyb,
         )
         print(
             f"eval: {codec.summary} on {len(images)} images x "
@@ -166,6 +171,7 @@ def cmd_baseline(args) -> int:
             subsampling=args.subsampling,
             progressive=not args.no_progressive,
             preset=args.avif_preset,
+            xyb=args.xyb,
         )
         result = run_eval(images, codec, qualities)
         saved = save_baseline(

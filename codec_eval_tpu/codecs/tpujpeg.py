@@ -79,6 +79,7 @@ class TpuJpegCodec(CodecImpl):
         adaptive: bool = True,
         aq_strength: float = 0.30,
         colorspace: str = "ycbcr",
+        progressive: bool = False,
     ):
         if subsampling not in ("420", "444"):
             raise CodecError("tpujpeg", f"unsupported subsampling {subsampling!r}")
@@ -90,6 +91,7 @@ class TpuJpegCodec(CodecImpl):
         self.adaptive = adaptive
         self.aq_strength = float(aq_strength)
         self.colorspace = colorspace
+        self.progressive = bool(progressive)
         # One-slot transform memo: the session sweeps qualities per image,
         # so consecutive encode() calls see the same pixels (keyed by FNV
         # of the raw bytes to stay correct if they do not).
@@ -101,9 +103,10 @@ class TpuJpegCodec(CodecImpl):
 
     def id(self) -> str:
         aq = "-aq" if self.adaptive else ""
+        prog = "-prog" if self.progressive else ""
         if self.colorspace == "xyb":
-            return f"tpujpeg-xyb{aq}"
-        return f"tpujpeg-{self.subsampling}{aq}"
+            return f"tpujpeg-xyb{aq}{prog}"
+        return f"tpujpeg-{self.subsampling}{aq}{prog}"
 
     def version(self) -> str:
         return "1.0"
@@ -192,6 +195,7 @@ class TpuJpegCodec(CodecImpl):
             width, height, self.subsampling,
             qy, qcb, qcr, ql[_je.ZIGZAG], qc[_je.ZIGZAG],
             app_mode=1 if self.colorspace == "xyb" else 0,
+            progressive=self.progressive,
         )
 
     @classmethod
@@ -204,4 +208,5 @@ class TpuJpegCodec(CodecImpl):
             cls(subsampling="420", adaptive=False),
             cls(subsampling="444", adaptive=False),
             cls(colorspace="xyb", adaptive=True),
+            cls(subsampling="420", adaptive=True, progressive=True),
         ]

@@ -5,9 +5,9 @@ main.rs:252-295} — format dispatch with JPEG subsampling/progressive knobs
 and named AVIF presets, each yielding a ``Codec`` closure pair with a
 config-summary string used as the baseline key.
 
-The reference's zenjpeg XYB mode is approximated by the on-device XYB
-roundtrip option of the metric layer; encoder-side XYB JPEG has no system
-backend here.
+The reference's zenjpeg XYB mode is provided natively by tpujpeg
+(``build_codec("tpujpeg", xyb=True)``): opsin XYB channels (Y, X, B-Y) in
+an Adobe transform-0 container, invertible by the tpujpeg decode path.
 """
 
 from __future__ import annotations
@@ -111,14 +111,17 @@ class AvifIterConfig:
 @dataclass
 class TpuJpegIterConfig:
     """The in-house jpegli-style encoder (codecs/tpujpeg.py) in the
-    iteration loop — the reference's zenjpeg format slot
-    (crates/codec-iter/src/config.rs:5-67)."""
+    iteration loop — the reference's zenjpeg format slot, including its
+    XYB colorspace axis (crates/codec-iter/src/config.rs:5-67)."""
 
     subsampling: str = "420"
     adaptive: bool = True
+    xyb: bool = False
 
     def summary(self) -> str:
         aq = "aq" if self.adaptive else "plain"
+        if self.xyb:
+            return f"tpujpeg-xyb-{aq}"
         return f"tpujpeg-{self.subsampling}-{aq}"
 
     def build(self) -> Codec:
@@ -130,12 +133,21 @@ class TpuJpegIterConfig:
             raise UnsupportedFormat(
                 "tpujpeg needs the native entropy coder (make -C native)"
             )
-        impl = TpuJpegCodec(subsampling=self.subsampling, adaptive=self.adaptive)
+        impl = TpuJpegCodec(
+            subsampling=self.subsampling,
+            adaptive=self.adaptive,
+            colorspace="xyb" if self.xyb else "ycbcr",
+        )
 
         def encode(rgb: np.ndarray, quality: int) -> bytes:
             return impl.encode(ImageData.rgb8(rgb), EncodeRequest(float(quality)))
 
-        return Codec(encode=encode, decode=_pil_decode, summary=self.summary())
+        def decode(data: bytes) -> np.ndarray:
+            # Must go through the adapter: XYB-mode channels need the
+            # opsin inversion a plain PIL decode does not apply.
+            return impl.decode(data).to_rgb8()
+
+        return Codec(encode=encode, decode=decode, summary=self.summary())
 
 
 @dataclass
@@ -164,6 +176,7 @@ def build_codec(
     progressive: bool = True,
     preset: str = "baseline",
     webp_method: int = 4,
+    xyb: bool = False,
 ) -> Codec:
     """Format dispatch.  reference: crates/codec-iter/src/main.rs:252-295."""
     fmt = fmt.lower()
@@ -175,5 +188,5 @@ def build_codec(
         return WebpIterConfig(method=webp_method).build()
     if fmt == "tpujpeg":
         # tpujpeg is baseline-only; "progressive" has no meaning here.
-        return TpuJpegIterConfig(subsampling=subsampling).build()
+        return TpuJpegIterConfig(subsampling=subsampling, xyb=xyb).build()
     raise UnsupportedFormat(f"unknown format '{fmt}' (jpeg|avif|webp|tpujpeg)")

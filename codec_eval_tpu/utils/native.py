@@ -79,16 +79,18 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
             ]
-            if hasattr(lib, "ce_jpeg_encode_baseline2"):
-                lib.ce_jpeg_encode_baseline2.restype = ctypes.c_int64
-                lib.ce_jpeg_encode_baseline2.argtypes = [
-                    ctypes.c_uint16, ctypes.c_uint16, ctypes.c_int,
-                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
-                    ctypes.c_uint32, ctypes.c_uint32,
-                    ctypes.c_uint32, ctypes.c_uint32,
-                    ctypes.c_void_p, ctypes.c_void_p,
-                    ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
-                ]
+            for sym in ("ce_jpeg_encode_baseline2", "ce_jpeg_encode_progressive"):
+                if hasattr(lib, sym):
+                    fn = getattr(lib, sym)
+                    fn.restype = ctypes.c_int64
+                    fn.argtypes = [
+                        ctypes.c_uint16, ctypes.c_uint16, ctypes.c_int,
+                        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_uint32, ctypes.c_uint32,
+                        ctypes.c_uint32, ctypes.c_uint32,
+                        ctypes.c_void_p, ctypes.c_void_p,
+                        ctypes.c_void_p, ctypes.c_size_t, ctypes.c_int,
+                    ]
             _lib = lib
             return lib
         except OSError:
@@ -195,6 +197,7 @@ def jpeg_encode_baseline(
     qtab_luma_zz: np.ndarray,
     qtab_chroma_zz: np.ndarray,
     app_mode: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """Entropy-code quantized zigzag coefficient planes into a baseline
     JPEG bytestream with optimized Huffman tables (native/jpeg_entropy.cpp).
@@ -216,7 +219,11 @@ def jpeg_encode_baseline(
     qc = np.ascontiguousarray(qtab_chroma_zz, dtype=np.uint16)
     cap = y.nbytes + cb.nbytes + cr.nbytes + (1 << 16)
     out = np.empty(cap, dtype=np.uint8)
-    n = lib.ce_jpeg_encode_baseline2(
+    entry = (
+        lib.ce_jpeg_encode_progressive if progressive
+        else lib.ce_jpeg_encode_baseline2
+    )
+    n = entry(
         width, height, 1 if subsampling == "420" else 0,
         y.ctypes.data, cb.ctypes.data, cr.ctypes.data,
         y.shape[0], y.shape[1], cb.shape[0], cb.shape[1],
@@ -224,7 +231,7 @@ def jpeg_encode_baseline(
         out.ctypes.data, cap, int(app_mode),
     )
     if n < 0:
-        raise RuntimeError("ce_jpeg_encode_baseline failed (buffer/args)")
+        raise RuntimeError("jpeg entropy coder failed (buffer/args)")
     return out[:n].tobytes()
 
 

@@ -351,6 +351,248 @@ int64_t ce_jpeg_encode_baseline2(
     return int64_t(bw.pos);
 }
 
+}  // extern "C"
+
+namespace {
+
+// --- Progressive (spectral selection, Ah=Al=0) -----------------------------
+
+struct AcScanState {
+    uint32_t eobrun = 0;
+};
+
+inline void flush_eobrun(AcScanState* st, uint32_t* freq, const HuffTable* tab,
+                         BitWriter* bw) {
+    if (st->eobrun == 0) return;
+    uint32_t r = st->eobrun;
+    int n = 0;
+    while ((r >> (n + 1)) != 0) ++n;  // n = floor(log2(r))
+    int sym = n << 4;
+    if (freq) {
+        freq[sym]++;
+    } else {
+        bw->put_bits(tab->code[sym], tab->size[sym]);
+        if (n) bw->put_bits(r - (1u << n), n);
+    }
+    st->eobrun = 0;
+}
+
+// One non-interleaved AC scan over blocks [0, by_ni) x [0, bx_ni) of a
+// (by, bx, 64) zigzag plane, band [ss, se].  T.81 G.1.2.2.
+void ac_scan(const int16_t* coeffs, uint32_t bx /*padded*/, uint32_t by_ni,
+             uint32_t bx_ni, int ss, int se, uint32_t* freq,
+             const HuffTable* tab, BitWriter* bw) {
+    AcScanState st;
+    for (uint32_t byi = 0; byi < by_ni; ++byi) {
+        for (uint32_t bxi = 0; bxi < bx_ni; ++bxi) {
+            const int16_t* blk = coeffs + (size_t(byi) * bx + bxi) * 64;
+            int last_nz = -1;
+            for (int k = se; k >= ss; --k)
+                if (blk[k] != 0) { last_nz = k; break; }
+            if (last_nz < 0) {
+                if (++st.eobrun == 0x7FFF) flush_eobrun(&st, freq, tab, bw);
+                continue;
+            }
+            flush_eobrun(&st, freq, tab, bw);
+            int run = 0;
+            for (int k = ss; k <= last_nz; ++k) {
+                int v = blk[k];
+                if (v == 0) { ++run; continue; }
+                while (run > 15) {
+                    if (freq) freq[0xF0]++;
+                    else bw->put_bits(tab->code[0xF0], tab->size[0xF0]);
+                    run -= 16;
+                }
+                int sz = magnitude_bits(v);
+                int sym = (run << 4) | sz;
+                if (freq) {
+                    freq[sym]++;
+                } else {
+                    bw->put_bits(tab->code[sym], tab->size[sym]);
+                    int bitsv = v < 0 ? v - 1 : v;
+                    bw->put_bits(uint32_t(bitsv), sz);
+                }
+                run = 0;
+            }
+            if (last_nz < se) {
+                if (++st.eobrun == 0x7FFF) flush_eobrun(&st, freq, tab, bw);
+            }
+        }
+    }
+    flush_eobrun(&st, freq, tab, bw);
+}
+
+// Interleaved DC-only scan (Ss=Se=0), same MCU walk as baseline.
+void dc_scan(Component* comps, int ncomp, uint32_t mcus_y, uint32_t mcus_x,
+             uint32_t* dc_freq, const HuffTable* dc_tabs, BitWriter* bw) {
+    for (int c = 0; c < ncomp; ++c) comps[c].pred = 0;
+    for (uint32_t my = 0; my < mcus_y; ++my)
+        for (uint32_t mx = 0; mx < mcus_x; ++mx)
+            for (int c = 0; c < ncomp; ++c) {
+                Component& co = comps[c];
+                for (int v = 0; v < co.v_blocks_per_mcu; ++v)
+                    for (int h = 0; h < co.h_blocks_per_mcu; ++h) {
+                        uint32_t byi = my * co.v_blocks_per_mcu + v;
+                        uint32_t bxi = mx * co.h_blocks_per_mcu + h;
+                        const int16_t* blk =
+                            co.coeffs + (size_t(byi) * co.bx + bxi) * 64;
+                        int diff = int(blk[0]) - co.pred;
+                        co.pred = blk[0];
+                        int nb = magnitude_bits(diff);
+                        if (dc_freq) {
+                            dc_freq[co.dc_tbl * 256 + nb]++;
+                        } else {
+                            const HuffTable& dt = dc_tabs[co.dc_tbl];
+                            bw->put_bits(dt.code[nb], dt.size[nb]);
+                            if (nb) {
+                                int bitsv = diff < 0 ? diff - 1 : diff;
+                                bw->put_bits(uint32_t(bitsv), nb);
+                            }
+                        }
+                    }
+            }
+}
+
+void put_sos(BitWriter* bw, int ncomp, const int* comp_ids, const int* td,
+             const int* ta, int ss, int se) {
+    put_marker(bw, 0xDA);
+    put_u16(bw, uint16_t(6 + 2 * ncomp));
+    bw->put_byte(uint8_t(ncomp));
+    for (int c = 0; c < ncomp; ++c) {
+        bw->put_byte(uint8_t(comp_ids[c]));
+        bw->put_byte(uint8_t((td[c] << 4) | ta[c]));
+    }
+    bw->put_byte(uint8_t(ss));
+    bw->put_byte(uint8_t(se));
+    bw->put_byte(0);  // Ah=Al=0 (spectral selection only)
+}
+
+}  // namespace
+
+extern "C" {
+
+// Progressive (SOF2, spectral-selection) variant of
+// ce_jpeg_encode_baseline2.  Scan script: interleaved DC; Y AC 1-5;
+// Cb AC 1-63; Cr AC 1-63; Y AC 6-63 — the classic luma-low-freq-first
+// ordering.  Optimized Huffman tables are built over all scans sharing a
+// table.  true_h/true_w are the unpadded image dims (non-interleaved
+// scans cover ceil(dim/8) blocks, not the padded MCU grid).
+int64_t ce_jpeg_encode_progressive(
+    uint16_t width, uint16_t height, int subsampling,
+    const int16_t* y_coeffs, const int16_t* cb_coeffs, const int16_t* cr_coeffs,
+    uint32_t by_y, uint32_t bx_y, uint32_t by_c, uint32_t bx_c,
+    const uint16_t* qtab_luma_zz, const uint16_t* qtab_chroma_zz,
+    uint8_t* out, size_t out_cap, int app_mode) {
+    if (!y_coeffs || !cb_coeffs || !cr_coeffs || !out) return -1;
+    int sf = subsampling == 1 ? 2 : 1;
+    if (by_y != by_c * sf || bx_y != bx_c * sf) return -1;
+
+    Component comps[3] = {
+        {y_coeffs, by_y, bx_y, sf, sf, 0, 0, 0},
+        {cb_coeffs, by_c, bx_c, 1, 1, 1, 1, 0},
+        {cr_coeffs, by_c, bx_c, 1, 1, 1, 1, 0},
+    };
+    uint32_t mcus_y = by_c, mcus_x = bx_c;
+
+    // Non-interleaved AC block counts from the true dims.
+    uint32_t ny_y = (uint32_t(height) + 7) / 8;
+    uint32_t nx_y = (uint32_t(width) + 7) / 8;
+    uint32_t ny_c = sf == 2 ? ((uint32_t(height) + 1) / 2 + 7) / 8 : ny_y;
+    uint32_t nx_c = sf == 2 ? ((uint32_t(width) + 1) / 2 + 7) / 8 : nx_y;
+
+    // Progressive allows 4 AC tables; give each band its own optimized
+    // statistics: 0 = Y low band, 1 = chroma, 2 = Y high band.
+    uint32_t dc_freq[2 * 256], ac_freq[3 * 256];
+    std::memset(dc_freq, 0, sizeof(dc_freq));
+    std::memset(ac_freq, 0, sizeof(ac_freq));
+
+    // Stats pass over every scan.
+    dc_scan(comps, 3, mcus_y, mcus_x, dc_freq, nullptr, nullptr);
+    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 1, 5, ac_freq + 0 * 256, nullptr, nullptr);
+    ac_scan(cb_coeffs, bx_c, ny_c, nx_c, 1, 63, ac_freq + 1 * 256, nullptr, nullptr);
+    ac_scan(cr_coeffs, bx_c, ny_c, nx_c, 1, 63, ac_freq + 1 * 256, nullptr, nullptr);
+    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 6, 63, ac_freq + 2 * 256, nullptr, nullptr);
+
+    HuffTable dc_tabs[2], ac_tabs[3];
+    for (int i = 0; i < 2; ++i)
+        build_optimal_table(dc_freq + i * 256, &dc_tabs[i]);
+    for (int i = 0; i < 3; ++i)
+        build_optimal_table(ac_freq + i * 256, &ac_tabs[i]);
+
+    BitWriter bw{out, out_cap, 0, 0, 0, false};
+    put_marker(&bw, 0xD8);
+    if (app_mode == 1) {
+        put_marker(&bw, 0xEE);
+        put_u16(&bw, 14);
+        const uint8_t adobe[5] = {'A', 'd', 'o', 'b', 'e'};
+        for (uint8_t b : adobe) bw.put_byte(b);
+        put_u16(&bw, 100); put_u16(&bw, 0); put_u16(&bw, 0);
+        bw.put_byte(0);
+    } else {
+        put_marker(&bw, 0xE0);
+        put_u16(&bw, 16);
+        const uint8_t jfif[5] = {'J', 'F', 'I', 'F', 0};
+        for (uint8_t b : jfif) bw.put_byte(b);
+        bw.put_byte(1); bw.put_byte(1);
+        bw.put_byte(0);
+        put_u16(&bw, 1); put_u16(&bw, 1);
+        bw.put_byte(0); bw.put_byte(0);
+    }
+    for (int i = 0; i < 2; ++i) {
+        put_marker(&bw, 0xDB);
+        put_u16(&bw, 2 + 1 + 64);
+        bw.put_byte(uint8_t(i));
+        const uint16_t* q = i == 0 ? qtab_luma_zz : qtab_chroma_zz;
+        for (int k = 0; k < 64; ++k)
+            bw.put_byte(uint8_t(q[k] > 255 ? 255 : (q[k] < 1 ? 1 : q[k])));
+    }
+    put_marker(&bw, 0xC2);  // SOF2 progressive
+    put_u16(&bw, uint16_t(8 + 3 * 3));
+    bw.put_byte(8);
+    put_u16(&bw, height);
+    put_u16(&bw, width);
+    bw.put_byte(3);
+    const int ids[3] = {1, 2, 3};
+    for (int c = 0; c < 3; ++c) {
+        bw.put_byte(uint8_t(ids[c]));
+        bw.put_byte(uint8_t((comps[c].h_blocks_per_mcu << 4) |
+                            comps[c].v_blocks_per_mcu));
+        bw.put_byte(uint8_t(c == 0 ? 0 : 1));
+    }
+    put_dht(&bw, dc_tabs[0], 0, 0);
+    put_dht(&bw, ac_tabs[0], 1, 0);
+    put_dht(&bw, dc_tabs[1], 0, 1);
+    put_dht(&bw, ac_tabs[1], 1, 1);
+    put_dht(&bw, ac_tabs[2], 1, 2);
+
+    // Scan 1: interleaved DC.
+    {
+        const int td[3] = {0, 1, 1}, ta[3] = {0, 0, 0};
+        put_sos(&bw, 3, ids, td, ta, 0, 0);
+        dc_scan(comps, 3, mcus_y, mcus_x, nullptr, dc_tabs, &bw);
+        bw.flush();
+    }
+    struct ScanDef {
+        const int16_t* c; uint32_t bx, ny, nx; int ss, se, id, tab;
+    } scans[4] = {
+        {y_coeffs, bx_y, ny_y, nx_y, 1, 5, 1, 0},
+        {cb_coeffs, bx_c, ny_c, nx_c, 1, 63, 2, 1},
+        {cr_coeffs, bx_c, ny_c, nx_c, 1, 63, 3, 1},
+        {y_coeffs, bx_y, ny_y, nx_y, 6, 63, 1, 2},
+    };
+    for (const ScanDef& s : scans) {
+        const int cid[1] = {s.id};
+        const int td[1] = {0}, ta[1] = {s.tab};
+        put_sos(&bw, 1, cid, td, ta, s.ss, s.se);
+        ac_scan(s.c, s.bx, s.ny, s.nx, s.ss, s.se, nullptr, &ac_tabs[s.tab],
+                &bw);
+        bw.flush();
+    }
+    put_marker(&bw, 0xD9);
+    if (bw.overflow) return -1;
+    return int64_t(bw.pos);
+}
+
 // Original entry point (JFIF container).
 int64_t ce_jpeg_encode_baseline(
     uint16_t width, uint16_t height, int subsampling,

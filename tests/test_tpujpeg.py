@@ -270,6 +270,55 @@ def test_xyb_device_reconstruction_matches_decode():
         assert float(np.sqrt(np.mean(d ** 2))) < 1.2
 
 
+def test_xyb_through_codec_iter_uses_inverting_decode():
+    """Regression: the iter-loop Codec must decode XYB via the adapter
+    (raw PIL decode leaves un-inverted opsin channels and scores ~8)."""
+    from codec_eval_tpu.iter.codecs import build_codec
+    from codec_eval_tpu.iter.eval import run_eval
+    from codec_eval_tpu.iter.source import SourceImage
+
+    img = _photo(64, 64)
+    codec = build_codec("tpujpeg", xyb=True)
+    assert codec.summary == "tpujpeg-xyb-aq"
+    result = run_eval([SourceImage(name="t", rgb=img)], codec, [85])
+    assert result.points[0].ssim2 > 50.0, result.points[0]
+
+
+def test_progressive_mode_same_pixels_smaller_at_scale():
+    """SOF2 spectral-selection mode: identical reconstruction (same
+    coefficients), decodable by libjpeg, and smaller at realistic sizes
+    thanks to per-band optimized AC tables."""
+    from PIL import Image
+
+    img = _photo(256, 256)
+    for sub in ("420", "444"):
+        base = TpuJpegCodec(subsampling=sub)
+        prog = TpuJpegCodec(subsampling=sub, progressive=True)
+        assert prog.id().endswith("-prog")
+        db = base.encode(ImageData.rgb8(img), EncodeRequest(85.0))
+        dp = prog.encode(ImageData.rgb8(img), EncodeRequest(85.0))
+        assert dp[3] != db[3] or len(dp) != len(db)  # distinct streams
+        im = Image.open(io.BytesIO(dp))
+        im.load()
+        dec_p = np.asarray(im.convert("RGB"))
+        dec_b = np.asarray(Image.open(io.BytesIO(db)).convert("RGB"))
+        # Same quantized coefficients -> same decoded pixels.
+        assert np.abs(dec_p.astype(int) - dec_b.astype(int)).max() <= 1
+        # At 256px+ the per-band tables should not cost more than ~2%.
+        assert len(dp) < len(db) * 1.02
+
+
+def test_progressive_xyb_combination():
+    img = _photo(128, 128)
+    codec = TpuJpegCodec(colorspace="xyb", progressive=True)
+    assert codec.id() == "tpujpeg-xyb-aq-prog"
+    data = codec.encode(ImageData.rgb8(img), EncodeRequest(85.0))
+    assert data[2:4] == b"\xff\xee"  # Adobe container preserved
+    dec = codec.decode(data).to_rgb8()
+    rms = float(np.sqrt(np.mean((dec.astype(np.float64) - img) ** 2)))
+    assert rms < 12.0, rms
+
+
 def test_quantize_deadzone_and_dc_rounding():
     dct = np.zeros((1, 1, 64), dtype=np.float32)
     dct[0, 0, 0] = 17.4  # DC: 17.4 / 10 = 1.74 -> rounds to 2 regardless of bias
