@@ -197,30 +197,51 @@ def run_sweep_scenario(jax, jnp) -> dict:
     # byte sizes via the native Huffman coder on this box's single CPU.
     def tpu_e2e_rates():
         from codec_eval_tpu.kernels import jpeg_enc as _je2
+        from codec_eval_tpu.engine.scoring import (
+            _build_chunk_scorer as _bcs,
+        )
         from codec_eval_tpu.engine.tpu_sweep import _qtabs_for
         from codec_eval_tpu.utils import native as _nat
 
         qualities = [float(q) for q in SWEEP_QUALITIES]
-        recon = _je2.build_reconstruct_sweep(
-            SWEEP_SIZE, SWEEP_SIZE, len(qualities), "420"
-        )
+        n_q = len(qualities)
         qtabs = jnp.asarray(_qtabs_for(qualities))
-        ql, qc = _je2.quality_to_qtables(75.0)  # warm zigzag tables
+        scorer_p = _bcs(
+            SWEEP_SIZE, SWEEP_SIZE, n_q, True, True, True, True, planar=True
+        )
+        recons = {
+            wc: _je2.build_reconstruct_sweep(
+                SWEEP_SIZE, SWEEP_SIZE, n_q, "420",
+                planar_candidates=True, with_coefs=wc,
+            )
+            for wc in (False, True)
+        }
 
-        def ladder(ref_dev, want_coefs):
-            cands, coefs = recon(ref_dev, qtabs, 0.30)
-            return scorer_all(pre_all(ref_dev), cands), coefs
+        # Every run consumes FRESH reference images: the remote runtime
+        # memoizes identical (executable, input) executions, so reusing a
+        # ref across runs measures the memo cache, not the chip.
+        n_img = 4
+        fresh = [
+            jax.block_until_ready(
+                jnp.asarray(_photo(SWEEP_SIZE, SWEEP_SIZE, 7000 + i))
+            )
+            for i in range(1 + 2 * 2 * n_img)
+        ]
+        it = iter(fresh)
 
-        # Warm up compiles.
-        out, coefs = ladder(refs_dev[0], True)
+        def ladder(ref_dev, with_sizes):
+            cands, coefs = recons[with_sizes](ref_dev, qtabs, 0.30)
+            return scorer_p(pre_all(ref_dev), cands), coefs
+
+        out, _c = ladder(next(it), True)  # warm both compiles
         _ = [np.asarray(v) for v in out.values()]
+        _ = ladder(fresh[0], False)
 
         def run(with_sizes):
-            n_img = min(4, len(refs_dev))
             t0 = time.perf_counter()
             outs = []
-            for i in range(n_img):
-                scores, coefs = ladder(refs_dev[i], with_sizes)
+            for _i in range(n_img):
+                scores, coefs = ladder(next(it), with_sizes)
                 outs.append(scores)
                 if with_sizes:
                     cy = np.asarray(coefs["y"])
@@ -234,7 +255,7 @@ def run_sweep_scenario(jax, jnp) -> dict:
                             tl[_je2.ZIGZAG], tc[_je2.ZIGZAG],
                         )
             _ = np.asarray(next(iter(outs[-1].values()))[0])
-            return n_img * len(qualities) / (time.perf_counter() - t0)
+            return n_img * n_q / (time.perf_counter() - t0)
 
         return (
             max(run(False) for _ in range(2)),

@@ -111,9 +111,9 @@ class CodecRegistry:
             self.skipped.append(codec)
             return False
         self.codecs.append(codec)
-        self.session.add_codec_with_decode(
-            codec.id(), codec.version(), codec.encode_fn(), codec.decode_fn()
-        )
+        # add_codec_impl keeps the adapter object so device-sweep-capable
+        # codecs (tpujpeg) evaluate their whole ladder on device.
+        self.session.add_codec_impl(codec)
         return True
 
     def register_all(self) -> int:

@@ -160,6 +160,29 @@ class TpuJpegCodec(CodecImpl):
         w, h = rgb.shape[1], rgb.shape[0]
         return [self._encode_from_transform(tr, w, h, float(q)) for q in qualities]
 
+    def device_sweep(
+        self,
+        image: ImageData,
+        qualities: Sequence[float],
+        metrics: Sequence[str],
+        with_bytes: bool = False,
+    ):
+        """Whole-ladder device evaluation (engine/tpu_sweep.py) with this
+        codec's exact settings — the capability hook EvalSession uses to
+        fuse encode/decode/score on device for tpujpeg codecs."""
+        from ..engine.tpu_sweep import evaluate_tpujpeg_sweep
+
+        return evaluate_tpujpeg_sweep(
+            image.to_rgb8(),
+            qualities,
+            subsampling=self.subsampling,
+            aq_strength=self.aq_strength if self.adaptive else 0.0,
+            metrics=metrics,
+            colorspace=self.colorspace,
+            progressive=self.progressive,
+            return_bytes=with_bytes,
+        )
+
     # -- internals ----------------------------------------------------------
 
     def _transform(self, rgb: np.ndarray) -> Dict[str, np.ndarray]:

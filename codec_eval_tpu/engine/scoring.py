@@ -110,23 +110,35 @@ def _build_chunk_scorer(
     butteraugli: bool,
     psnr: bool,
     share_staging: bool = True,
+    planar: bool = False,
 ):
-    """Jitted per-chunk scorer over a precomputed reference pytree."""
+    """Jitted per-chunk scorer over a precomputed reference pytree.
+
+    With ``planar=True`` the candidate batch is (N, 3, H, W) u8 instead of
+    (N, H, W, 3) — the layout the device-resident JPEG reconstruction
+    produces.  Channel-last u8 batches tile poorly on TPU (minor dim 3),
+    so producers that live on device hand over planar and skip both the
+    bad layout and the staging moveaxis; every downstream consumer is
+    layout-agnostic once reference and candidates agree.
+    """
 
     def score(pre, batch_u8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         ref_u8 = pre["ref_u8"]
+        ref_cmp = jnp.moveaxis(ref_u8, -1, 0) if planar else ref_u8
         out: Dict[str, jnp.ndarray] = {}
         # Stage the candidates' (N, 3, H, W) linear RGB once and hand it to
         # every metric that needs it: the per-metric conversions are
         # bit-identical expressions, but XLA does not reliably CSE them
         # across the metric subgraphs in the big fused program.
         lin = None
-        if share_staging and dssim + ssimulacra2 + butteraugli >= 2:
+        if planar and (dssim or ssimulacra2 or butteraugli):
+            lin = jax.vmap(_srgb_u8_to_linear)(batch_u8)
+        elif share_staging and dssim + ssimulacra2 + butteraugli >= 2:
             lin = jax.vmap(
                 lambda d: jnp.moveaxis(_srgb_u8_to_linear(d), -1, 0)
             )(batch_u8)
         if psnr:
-            out["psnr"] = jax.vmap(lambda d: _psnr_kernel(ref_u8, d))(batch_u8)
+            out["psnr"] = jax.vmap(lambda d: _psnr_kernel(ref_cmp, d))(batch_u8)
         if dssim:
             dref = pre["dssim"]
 
@@ -134,7 +146,7 @@ def _build_chunk_scorer(
                 val = _dssim_against(
                     dref, l if l is not None else _srgb_u8_to_linear(d)
                 )
-                return jnp.where(jnp.all(ref_u8 == d), jnp.zeros_like(val), val)
+                return jnp.where(jnp.all(ref_cmp == d), jnp.zeros_like(val), val)
 
             if lin is None:
                 out["dssim"] = jax.vmap(lambda d: one_dssim(d, None))(batch_u8)
@@ -142,7 +154,7 @@ def _build_chunk_scorer(
                 out["dssim"] = jax.vmap(one_dssim)(batch_u8, lin)
         if ssimulacra2:
             out["ssimulacra2"] = _ssimulacra2_batch_pre(
-                pre["s2"], ref_u8, batch_u8, lin_planar=lin
+                pre["s2"], ref_cmp, batch_u8, lin_planar=lin
             )
         if butteraugli:
             pi0_full, pi0_sub, mask_full, mask_sub = pre["ba"]
@@ -156,7 +168,7 @@ def _build_chunk_scorer(
                 mask_sub=mask_sub,
             )
             vals = _butteraugli_batch(bref, batch_u8, lin_full=lin)
-            identical = jax.vmap(lambda d: jnp.all(ref_u8 == d))(batch_u8)
+            identical = jax.vmap(lambda d: jnp.all(ref_cmp == d))(batch_u8)
             out["butteraugli"] = jnp.where(identical, 0.0, vals)
         return out
 

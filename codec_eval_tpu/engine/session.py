@@ -122,6 +122,10 @@ class _CodecEntry:
     version: str
     encode: EncodeFn
     decode: Optional[DecodeFn]
+    #: Optional rich adapter (codecs.base.CodecImpl).  When it exposes a
+    #: ``device_sweep`` capability (tpujpeg), the session fuses the whole
+    #: (codec x quality) ladder — encode, decode, scoring — on device.
+    impl: Optional[object] = None
 
 
 class EvalSession:
@@ -145,6 +149,20 @@ class EvalSession:
         self, codec_id: str, version: str, encode: EncodeFn, decode: DecodeFn
     ) -> "EvalSession":
         self._codecs.append(_CodecEntry(codec_id, version, encode, decode))
+        return self
+
+    def add_codec_impl(self, codec) -> "EvalSession":
+        """Register a CodecImpl adapter.  Equivalent to
+        add_codec_with_decode, but keeps the adapter object so codecs with
+        a device-resident ladder path (tpujpeg's ``device_sweep``) are
+        evaluated without their candidates round-tripping through host
+        RAM."""
+        self._codecs.append(
+            _CodecEntry(
+                codec.id(), codec.version(), codec.encode_fn(),
+                codec.decode_fn(), impl=codec,
+            )
+        )
         return self
 
     @property
@@ -211,6 +229,13 @@ class EvalSession:
 
         staged: List[dict] = []
         for codec in self._codecs:
+            if self._device_sweep_ok(codec):
+                try:
+                    staged.extend(self._stage_codec_device(name, image, codec))
+                    continue
+                except Exception:
+                    # Fall back to the per-cell host path below.
+                    pass
             for quality in self.config.quality_levels:
                 try:
                     staged.append(self._stage_cell(name, image, codec, quality))
@@ -232,6 +257,74 @@ class EvalSession:
                     )
         return staged
 
+    def _device_sweep_ok(self, codec: _CodecEntry) -> bool:
+        m = self.config.metrics
+        return (
+            codec.impl is not None
+            and hasattr(codec.impl, "device_sweep")
+            and not m.xyb_roundtrip
+            and (m.dssim or m.ssimulacra2 or m.butteraugli or m.psnr)
+        )
+
+    def _stage_codec_device(
+        self, name: str, image: ImageData, codec: _CodecEntry
+    ) -> List[dict]:
+        """Device ladder for one codec: encode transform, decode
+        reconstruction, and scoring fused on device (engine/tpu_sweep.py);
+        the host entropy pass supplies exact byte sizes (and the artifact
+        bytes when cache_dir is set).  encode_ms carries each cell's share
+        of the measured ladder wall time; decode_ms is 0 because no host
+        decode happens — the reconstruction is part of the same device
+        program."""
+        from ..metrics import MetricResult
+
+        m = self.config.metrics
+        wanted = tuple(
+            k
+            for k, on in (
+                ("dssim", m.dssim),
+                ("ssimulacra2", m.ssimulacra2),
+                ("butteraugli", m.butteraugli),
+                ("psnr", m.psnr),
+            )
+            if on
+        )
+        want_bytes = self.config.cache_dir is not None
+        t0 = time.perf_counter()
+        points = codec.impl.device_sweep(
+            image, list(self.config.quality_levels), wanted,
+            with_bytes=want_bytes,
+        )
+        per_cell_ms = int(
+            (time.perf_counter() - t0) * 1000 / max(len(points), 1)
+        )
+        staged = []
+        for p in points:
+            cached_path = None
+            if want_bytes and p.data is not None:
+                self.config.cache_dir.mkdir(parents=True, exist_ok=True)
+                cached = self.config.cache_dir / (
+                    f"{name}-{codec.id}-q{p.quality:g}.bin"
+                )
+                cached.write_bytes(p.data)
+                cached_path = str(cached)
+            staged.append(
+                {
+                    "codec": codec,
+                    "quality": p.quality,
+                    "params": {},
+                    "file_size": p.file_size or 0,
+                    "encode_ms": per_cell_ms,
+                    "decode_ms": 0,
+                    "decoded": None,
+                    "cached_path": cached_path,
+                    "error": None,
+                    "metrics": MetricResult(**{k: p.metrics.get(k) for k in wanted}),
+                    "scored": True,
+                }
+            )
+        return staged
+
     def _score_and_report(
         self, name: str, image: ImageData, staged: List[dict]
     ) -> ImageReport:
@@ -240,7 +333,9 @@ class EvalSession:
         report = ImageReport(name=name, width=width, height=height)
         reference_rgb = image.to_rgb8()
 
-        decodable = [e for e in staged if e["decoded"] is not None]
+        decodable = [
+            e for e in staged if e["decoded"] is not None and "metrics" not in e
+        ]
         if decodable and self._scorer.enabled():
             batch = np.stack([e["decoded"] for e in decodable])
             results = self._scorer.score_batch(reference_rgb, batch)
@@ -261,7 +356,11 @@ class EvalSession:
                     encode_time_ms=e["encode_ms"],
                     decode_time_ms=e["decode_ms"],
                     metrics=metrics,
-                    perception=metrics.perception_level() if e["decoded"] is not None else None,
+                    perception=(
+                        metrics.perception_level()
+                        if (e["decoded"] is not None or e.get("scored"))
+                        else None
+                    ),
                     cached_path=e["cached_path"],
                     codec_params=e["params"],
                 )

@@ -41,12 +41,19 @@ class TpuSweepPoint:
     bits_per_pixel: Optional[float]
     file_size: Optional[int]
     metrics: Dict[str, float]
+    data: Optional[bytes] = None  # the .jpg bytes, when return_bytes=True
 
 
-def _qtabs_for(qualities: Sequence[float]) -> np.ndarray:
+def _qtabs_for(
+    qualities: Sequence[float], colorspace: str = "ycbcr"
+) -> np.ndarray:
+    if colorspace == "xyb":
+        bases = (_je.XYB_LUMA_BASE, _je.XYB_CHROMA_BASE)
+    else:
+        bases = (_je.ANNEX_K_LUMA, _je.ANNEX_K_CHROMA)
     return np.stack(
         [
-            np.stack(_je.quality_to_qtables(q)).astype(np.float32)
+            np.stack(_je.quality_to_qtables(q, *bases)).astype(np.float32)
             for q in qualities
         ]
     )  # (n_q, 2, 64) natural order
@@ -60,12 +67,19 @@ def evaluate_tpujpeg_sweep(
     metrics: Sequence[str] = ("dssim", "ssimulacra2", "butteraugli", "psnr"),
     with_sizes: bool = True,
     size_pool: Optional[ThreadPoolExecutor] = None,
+    colorspace: str = "ycbcr",
+    progressive: bool = False,
+    return_bytes: bool = False,
 ) -> List[TpuSweepPoint]:
     """Score a full tpujpeg quality ladder for one image on device.
 
     with_sizes=False skips the host entropy pass entirely (scores only —
     useful when hunting a quality threshold rather than an R-D curve).
+    return_bytes=True additionally keeps each quality's .jpg bytes
+    (implies the entropy pass).
     """
+    if return_bytes:
+        with_sizes = True
     import jax.numpy as jnp
 
     from .scoring import _build_chunk_scorer, _build_precompute
@@ -74,41 +88,57 @@ def evaluate_tpujpeg_sweep(
     n_q = len(qualities)
     want = {m: m in metrics for m in ("dssim", "ssimulacra2", "butteraugli", "psnr")}
 
-    recon = _je.build_reconstruct_sweep(h, w, n_q, subsampling)
+    if colorspace == "xyb":
+        subsampling = "444"
+    # Planar candidates + the planar scorer variant: channel-last u8
+    # batches tile poorly on TPU, and the coefficient outputs are dropped
+    # from the program entirely when no byte sizes are needed.
+    recon = _je.build_reconstruct_sweep(
+        h, w, n_q, subsampling, colorspace,
+        planar_candidates=True, with_coefs=with_sizes,
+    )
     pre_fn = _build_precompute(
         h, w, want["dssim"], want["ssimulacra2"], want["butteraugli"], False
     )
     scorer = _build_chunk_scorer(
         h, w, n_q,
         want["dssim"], want["ssimulacra2"], want["butteraugli"], want["psnr"],
+        planar=True,
     )
 
     img_dev = jnp.asarray(image_u8)
-    qtabs = jnp.asarray(_qtabs_for(qualities))
+    qtabs = jnp.asarray(_qtabs_for(qualities, colorspace))
     cands, coefs = recon(img_dev, qtabs, float(aq_strength))
     scores = scorer(pre_fn(img_dev), cands)
 
     sizes: List[Optional[int]] = [None] * n_q
+    blobs: List[Optional[bytes]] = [None] * n_q
     if with_sizes:
         # Entropy-code on host for exact bytes; the coefficient fetch and
         # the Huffman pass overlap device scoring via the thread pool.
         cy = np.asarray(coefs["y"])
         ccb = np.asarray(coefs["cb"])
         ccr = np.asarray(coefs["cr"])
+        host_qtabs = _qtabs_for(qualities, colorspace)
 
-        def size_of(qi: int) -> int:
-            ql, qc = _je.quality_to_qtables(qualities[qi])
-            data = _native.jpeg_encode_baseline(
+        def encode_of(qi: int) -> bytes:
+            ql = host_qtabs[qi, 0].astype(np.uint16)
+            qc = host_qtabs[qi, 1].astype(np.uint16)
+            return _native.jpeg_encode_baseline(
                 w, h, subsampling,
                 cy[qi], ccb[qi], ccr[qi],
                 ql[_je.ZIGZAG], qc[_je.ZIGZAG],
+                app_mode=1 if colorspace == "xyb" else 0,
+                progressive=progressive,
             )
-            return len(data)
 
         if size_pool is not None:
-            sizes = list(size_pool.map(size_of, range(n_q)))
+            datas = list(size_pool.map(encode_of, range(n_q)))
         else:
-            sizes = [size_of(qi) for qi in range(n_q)]
+            datas = [encode_of(qi) for qi in range(n_q)]
+        sizes = [len(d) for d in datas]
+        if return_bytes:
+            blobs = list(datas)
 
     host_scores = {k: np.asarray(v) for k, v in scores.items()}
     points = []
@@ -122,6 +152,7 @@ def evaluate_tpujpeg_sweep(
                 ),
                 file_size=sizes[qi],
                 metrics=row,
+                data=blobs[qi],
             )
         )
     return points

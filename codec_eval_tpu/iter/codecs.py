@@ -117,12 +117,14 @@ class TpuJpegIterConfig:
     subsampling: str = "420"
     adaptive: bool = True
     xyb: bool = False
+    progressive: bool = False
 
     def summary(self) -> str:
         aq = "aq" if self.adaptive else "plain"
+        prog = "-prog" if self.progressive else ""
         if self.xyb:
-            return f"tpujpeg-xyb-{aq}"
-        return f"tpujpeg-{self.subsampling}-{aq}"
+            return f"tpujpeg-xyb-{aq}{prog}"
+        return f"tpujpeg-{self.subsampling}-{aq}{prog}"
 
     def build(self) -> Codec:
         from ..codecs.tpujpeg import TpuJpegCodec, is_available
@@ -137,6 +139,7 @@ class TpuJpegIterConfig:
             subsampling=self.subsampling,
             adaptive=self.adaptive,
             colorspace="xyb" if self.xyb else "ycbcr",
+            progressive=self.progressive,
         )
 
         def encode(rgb: np.ndarray, quality: int) -> bytes:
@@ -187,6 +190,7 @@ def build_codec(
     if fmt == "webp":
         return WebpIterConfig(method=webp_method).build()
     if fmt == "tpujpeg":
-        # tpujpeg is baseline-only; "progressive" has no meaning here.
-        return TpuJpegIterConfig(subsampling=subsampling, xyb=xyb).build()
+        return TpuJpegIterConfig(
+            subsampling=subsampling, xyb=xyb, progressive=progressive
+        ).build()
     raise UnsupportedFormat(f"unknown format '{fmt}' (jpeg|avif|webp|tpujpeg)")

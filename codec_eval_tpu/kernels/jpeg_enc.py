@@ -154,6 +154,29 @@ def quality_to_qtables(
     return scaled(np.asarray(base_luma)), scaled(np.asarray(base_chroma))
 
 
+@functools.lru_cache(maxsize=1)
+def _zigzag_dct_matrix() -> np.ndarray:
+    """The fused (2D DCT + zigzag) operator as one orthonormal 64x64 matrix.
+
+    W[k, x*8+y] = C[u_k, x] * C[v_k, y], where (u_k, v_k) is the natural
+    position of zigzag index k.  Then for a row-major flattened block f:
+      forward:  F_zz = f_flat @ W.T
+      inverse:  f_flat = F_zz @ W          (rows of W are orthonormal)
+    One (n_blocks, 64) @ (64, 64) contraction per plane instead of two
+    8-point einsums plus a 64-way gather — the gather (inverse zigzag) is
+    the expensive part on TPU, and the matmul shape is MXU-native.
+    Computed in float64, applied in f32 at HIGHEST precision.
+    """
+    c = dct8_matrix().astype(np.float64)
+    w = np.zeros((64, 64), dtype=np.float64)
+    for k in range(64):
+        u, v = divmod(int(ZIGZAG[k]), 8)
+        for x in range(8):
+            for y in range(8):
+                w[k, x * 8 + y] = c[u, x] * c[v, y]
+    return w.astype(np.float32)
+
+
 def _pad_edge_2d(plane: jnp.ndarray, mult: int) -> jnp.ndarray:
     h, w = plane.shape
     hp = -h % mult
@@ -232,8 +255,7 @@ def build_transform(
         raise ValueError(f"unsupported colorspace {colorspace!r}")
     if colorspace == "xyb" and subsampling != "444":
         raise ValueError("xyb colorspace requires 4:4:4")
-    cmat = jnp.asarray(dct8_matrix())
-    zz = jnp.asarray(ZIGZAG)
+    wmat = jnp.asarray(_zigzag_dct_matrix())
 
     def transform(rgb_u8: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         if colorspace == "xyb":
@@ -276,9 +298,12 @@ def build_transform(
             cb, cr = down(cb), down(cr)
 
         def coeffs(plane):
-            f = _dct_blocks(_blockify(plane - 128.0), cmat)
-            flat = f.reshape(f.shape[0], f.shape[1], 64)
-            return jnp.take(flat, zz, axis=-1)
+            blocks = _blockify(plane - 128.0)
+            flat = blocks.reshape(blocks.shape[0], blocks.shape[1], 64)
+            return jnp.einsum(
+                "kp,...p->...k", wmat, flat,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         act_y = _activity_field(y)
         if subsampling == "420":
@@ -324,23 +349,43 @@ def _unblockify(blocks: jnp.ndarray) -> jnp.ndarray:
     return blocks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
 
 
+@functools.lru_cache(maxsize=None)
+def _triangle_up_matrix(n: int) -> np.ndarray:
+    """(n, 2n) triangle-upsample operator: out[2i] = .75 in[i] + .25
+    in[i-1], out[2i+1] = .75 in[i] + .25 in[i+1], edges clamped.  Rides
+    the MXU; .75/.25 are exact in bf16 so the HIGHEST 6-pass split keeps
+    f32 accuracy.  Lane-dim interleaving via stack/reshape or repeat
+    lowers to shuffles that measured 2-4x slower in the ladder."""
+    a = np.zeros((n, 2 * n), np.float32)
+    i = np.arange(n)
+    a[i, 2 * i] += 0.75
+    a[np.maximum(i - 1, 0), 2 * i] += 0.25
+    a[i, 2 * i + 1] += 0.75
+    a[np.minimum(i + 1, n - 1), 2 * i + 1] += 0.25
+    return a
+
+
 def _triangle_upsample2x(plane: jnp.ndarray) -> jnp.ndarray:
     """Separable 2x triangle ("fancy") upsample with edge clamp — the
     libjpeg h2v2 fancy-upsampling convention: out[2i] = (3 in[i] +
-    in[i-1]) / 4, out[2i+1] = (3 in[i] + in[i+1]) / 4 per axis."""
+    in[i-1]) / 4, out[2i+1] = (3 in[i] + in[i+1]) / 4 per axis.
 
-    def axis_up(p):
-        prev = jnp.concatenate([p[:1], p[:-1]], axis=0)
-        nxt = jnp.concatenate([p[1:], p[-1:]], axis=0)
-        even = 0.75 * p + 0.25 * prev
-        odd = 0.75 * p + 0.25 * nxt
-        return jnp.stack([even, odd], axis=1).reshape(-1, *p.shape[1:])
-
-    return axis_up(axis_up(plane).T).T
+    Both axes run as matmuls against the sparse upsample operator (the
+    same MXU trick as blur.pair_mean_matrix for the downscale direction).
+    """
+    h, w = plane.shape
+    uh = jnp.asarray(_triangle_up_matrix(h))  # (h, 2h)
+    uw = jnp.asarray(_triangle_up_matrix(w))  # (w, 2w)
+    up_w = jnp.einsum(
+        "hw,wW->hW", plane, uw, precision=jax.lax.Precision.HIGHEST
+    )
+    return jnp.einsum(
+        "hH,hW->HW", uh, up_w, precision=jax.lax.Precision.HIGHEST
+    )
 
 
 def _scaled_xyb_to_rgb_u8(
-    y: jnp.ndarray, x: jnp.ndarray, bmy: jnp.ndarray
+    y: jnp.ndarray, x: jnp.ndarray, bmy: jnp.ndarray, planar: bool = False
 ) -> jnp.ndarray:
     """Invert the [0,255]-scaled (Y, X, B-Y) planes back to sRGB u8."""
     from .color import linear_to_srgb_u8, xyb_to_linear_rgb
@@ -350,17 +395,21 @@ def _scaled_xyb_to_rgb_u8(
     xv = x / 255.0 * (r[1, 1] - r[1, 0]) + r[1, 0]
     bv = bmy / 255.0 * (r[2, 1] - r[2, 0]) + r[2, 0] + yv
     xyb = jnp.stack([xv, yv, bv], axis=-1)
-    return linear_to_srgb_u8(xyb_to_linear_rgb(xyb))
+    out = linear_to_srgb_u8(xyb_to_linear_rgb(xyb))
+    return jnp.moveaxis(out, -1, 0) if planar else out
 
 
-def _ycbcr_to_rgb_u8(y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray) -> jnp.ndarray:
-    """JFIF (BT.601 full-range) inverse color transform -> (H, W, 3) u8."""
+def _ycbcr_to_rgb_u8(
+    y: jnp.ndarray, cb: jnp.ndarray, cr: jnp.ndarray, planar: bool = False
+) -> jnp.ndarray:
+    """JFIF (BT.601 full-range) inverse color transform -> (H, W, 3) u8
+    (or (3, H, W) with planar=True)."""
     cb = cb - 128.0
     cr = cr - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136286 * cb - 0.714136286 * cr
     b = y + 1.772 * cb
-    rgb = jnp.stack([r, g, b], axis=-1)
+    rgb = jnp.stack([r, g, b], axis=0 if planar else -1)
     return jnp.clip(jnp.round(rgb), 0.0, 255.0).astype(jnp.uint8)
 
 
@@ -371,13 +420,19 @@ def build_reconstruct_sweep(
     n_q: int,
     subsampling: str = "420",
     colorspace: str = "ycbcr",
+    planar_candidates: bool = False,
+    with_coefs: bool = True,
 ):
     """Jitted device-side decode of a whole quality ladder.
 
     Returns fn(rgb_u8 (H, W, 3), qtabs (n_q, 2, 64) natural-order f32,
     aq_strength scalar f32 (0 = plain rounding)) ->
-      (candidates (n_q, H, W, 3) u8,
-       coeffs {y/cb/cr: (n_q, by, bx, 64) int16 zigzag}).
+      (candidates (n_q, H, W, 3) u8 — or (n_q, 3, H, W) with
+       planar_candidates=True, the TPU-friendly layout the planar chunk
+       scorer consumes directly (channel-last u8 tiles poorly),
+       coeffs {y/cb/cr: (n_q, by, bx, 64) int16 zigzag} — or {} with
+       with_coefs=False, which lets XLA drop the int16 outputs entirely
+       when no byte sizes are needed).
 
     The candidates are what this framework's own decoder produces for the
     bytes the host entropy coder would emit from `coeffs` — so a full R-D
@@ -390,22 +445,28 @@ def build_reconstruct_sweep(
     float transform; test_tpujpeg.py pins the agreement).
     """
     tr = build_transform(height, width, subsampling, colorspace)
-    cmat = jnp.asarray(dct8_matrix())
-    inv_zz = jnp.asarray(np.argsort(ZIGZAG))
+    wmat = jnp.asarray(_zigzag_dct_matrix())
     zz = jnp.asarray(ZIGZAG)
+
+    # DC (zigzag index 0) always rounds to nearest; a select against an
+    # iota mask, NOT `.at[..., 0].set` — the scatter that lowering produces
+    # under vmap dominated the whole reconstruct cost (~2x) before.
+    dc_mask = (np.arange(64) == 0)
 
     def quantize_dev(dct_zz, q_zz, bias2d):
         scaled = jnp.abs(dct_zz) / q_zz
-        b = jnp.broadcast_to(bias2d[..., None], scaled.shape)
-        b = b.at[..., 0].set(0.5)
+        b = jnp.where(jnp.asarray(dc_mask), 0.5, bias2d[..., None])
         qc = jnp.minimum(jnp.floor(scaled + b), 1023.0)
-        return (jnp.sign(dct_zz) * qc).astype(jnp.int16)
+        # Keep f32 for the reconstruct branch; int16 only at the output.
+        return jnp.sign(dct_zz) * qc
 
-    def reconstruct_plane(coef_zz_i16, q_zz):
-        deq = coef_zz_i16.astype(jnp.float32) * q_zz
-        nat = jnp.take(deq, inv_zz, axis=-1)
-        blocks = nat.reshape(*nat.shape[:-1], 8, 8)
-        return _unblockify(_idct_blocks(blocks, cmat)) + 128.0
+    def reconstruct_plane(coef_zz_f32, q_zz):
+        deq = coef_zz_f32 * q_zz
+        flat = jnp.einsum(
+            "kp,...k->...p", wmat, deq, precision=jax.lax.Precision.HIGHEST
+        )
+        blocks = flat.reshape(*flat.shape[:-1], 8, 8)
+        return _unblockify(blocks) + 128.0
 
     def sweep(rgb_u8, qtabs, aq_strength):
         planes = tr(rgb_u8)
@@ -427,12 +488,25 @@ def build_reconstruct_sweep(
                 cb = _triangle_upsample2x(cb)
                 cr = _triangle_upsample2x(cr)
             if colorspace == "xyb":
-                rgb = _scaled_xyb_to_rgb_u8(y, cb, cr)
+                rgb = _scaled_xyb_to_rgb_u8(y, cb, cr, planar=planar_candidates)
             else:
-                rgb = _ycbcr_to_rgb_u8(y, cb, cr)
-            return rgb[:height, :width, :], (cy, ccb, ccr)
+                rgb = _ycbcr_to_rgb_u8(y, cb, cr, planar=planar_candidates)
+            rgb = (
+                rgb[:, :height, :width]
+                if planar_candidates
+                else rgb[:height, :width, :]
+            )
+            if not with_coefs:
+                return rgb, ()
+            return rgb, (
+                cy.astype(jnp.int16),
+                ccb.astype(jnp.int16),
+                ccr.astype(jnp.int16),
+            )
 
         cands, coefs = jax.vmap(one_quality)(qtabs)
+        if not with_coefs:
+            return cands, {}
         return cands, {"y": coefs[0], "cb": coefs[1], "cr": coefs[2]}
 
     return jax.jit(sweep)

@@ -87,13 +87,17 @@ def sweep_corpus_ladders(
     n_q = len(qualities)
     want = {m: m in metrics for m in ("dssim", "ssimulacra2", "butteraugli", "psnr")}
 
-    recon = _je.build_reconstruct_sweep(h, w, n_q, subsampling)
+    recon = _je.build_reconstruct_sweep(
+        h, w, n_q, subsampling,
+        planar_candidates=True, with_coefs=with_sizes,
+    )
     pre_fn = _build_precompute(
         h, w, want["dssim"], want["ssimulacra2"], want["butteraugli"], False
     )
     scorer = _build_chunk_scorer(
         h, w, n_q,
         want["dssim"], want["ssimulacra2"], want["butteraugli"], want["psnr"],
+        planar=True,
     )
     qtabs = jnp.asarray(_qtabs_for(qualities))
     aq = jnp.float32(aq_strength)

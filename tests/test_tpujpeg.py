@@ -279,7 +279,8 @@ def test_xyb_through_codec_iter_uses_inverting_decode():
 
     img = _photo(64, 64)
     codec = build_codec("tpujpeg", xyb=True)
-    assert codec.summary == "tpujpeg-xyb-aq"
+    # build_codec defaults progressive=True (same as the PIL jpeg path).
+    assert codec.summary == "tpujpeg-xyb-aq-prog"
     result = run_eval([SourceImage(name="t", rgb=img)], codec, [85])
     assert result.points[0].ssim2 > 50.0, result.points[0]
 
@@ -317,6 +318,77 @@ def test_progressive_xyb_combination():
     dec = codec.decode(data).to_rgb8()
     rms = float(np.sqrt(np.mean((dec.astype(np.float64) - img) ** 2)))
     assert rms < 12.0, rms
+
+
+def test_session_device_fast_path_matches_callback_path(tmp_path):
+    """EvalSession.add_codec_impl fuses the tpujpeg ladder on device; the
+    report must match the callback path: same rows, identical byte sizes,
+    scores within the inter-decoder tolerance, artifacts cached."""
+    from codec_eval_tpu.engine.session import EvalConfig, EvalSession
+    from codec_eval_tpu.metrics import MetricConfig
+
+    img = _photo(96, 96)
+    qualities = [55.0, 90.0]
+
+    def make_session(cache=None):
+        b = (
+            EvalConfig.builder()
+            .report_dir(str(tmp_path / "r"))
+            .metrics(MetricConfig.all())
+            .quality_levels(qualities)
+        )
+        if cache:
+            b = b.cache_dir(str(cache))
+        return EvalSession(b.build())
+
+    codec = TpuJpegCodec()
+    fast = make_session(cache=tmp_path / "cache")
+    fast.add_codec_impl(codec)
+    slow = make_session()
+    slow.add_codec_with_decode(
+        codec.id(), codec.version(), codec.encode_fn(), codec.decode_fn()
+    )
+    rf = fast.evaluate_image("img", ImageData.rgb8(img))
+    rs = slow.evaluate_image("img", ImageData.rgb8(img))
+    assert [(r.codec_id, r.quality) for r in rf.results] == [
+        (r.codec_id, r.quality) for r in rs.results
+    ]
+    for a, b in zip(rf.results, rs.results):
+        assert a.file_size == b.file_size
+        assert abs(a.metrics.ssimulacra2 - b.metrics.ssimulacra2) < 0.6
+        assert abs(a.metrics.psnr - b.metrics.psnr) < 1.0
+        assert a.perception is not None and b.perception is not None
+        assert a.decode_time_ms == 0  # fused device decode
+        # Cached artifact is a real decodable JPEG.
+        from PIL import Image as _Image
+
+        assert a.cached_path is not None
+        with open(a.cached_path, "rb") as f:
+            data = f.read()
+        assert len(data) == a.file_size
+        _Image.open(io.BytesIO(data)).load()
+
+
+def test_session_device_fast_path_gated_by_xyb_roundtrip(tmp_path):
+    """metrics.xyb_roundtrip disables the device path (the roundtrip
+    preprocessing is a host/scorer concern the sweep does not implement);
+    the session must silently use the callback path instead."""
+    from codec_eval_tpu.engine.session import EvalConfig, EvalSession
+    from codec_eval_tpu.metrics import MetricConfig
+
+    img = _photo(64, 64)
+    config = (
+        EvalConfig.builder()
+        .report_dir(str(tmp_path))
+        .metrics(MetricConfig.perceptual_xyb())
+        .quality_levels([80.0])
+        .build()
+    )
+    session = EvalSession(config)
+    session.add_codec_impl(TpuJpegCodec())
+    report = session.evaluate_image("img", ImageData.rgb8(img))
+    assert report.results[0].metrics.ssimulacra2 is not None
+    assert report.results[0].decode_time_ms is not None  # host path ran
 
 
 def test_quantize_deadzone_and_dc_rounding():
