@@ -66,7 +66,7 @@ class TpuJpegCodec(CodecImpl):
 
     Parameters
     ----------
-    subsampling: "420" (default) or "444".
+    subsampling: "420" (default), "444", "422", or "440".
     adaptive: enable the activity-driven rounding bias (default True).
     aq_strength: maximum reduction of the AC rounding offset at full
         activity; 0.30 means busy blocks round with offset 0.5 - 0.30.
@@ -81,7 +81,7 @@ class TpuJpegCodec(CodecImpl):
         colorspace: str = "ycbcr",
         progressive: bool = False,
     ):
-        if subsampling not in ("420", "444"):
+        if subsampling not in ("420", "444", "422", "440"):
             raise CodecError("tpujpeg", f"unsupported subsampling {subsampling!r}")
         if colorspace not in ("ycbcr", "xyb"):
             raise CodecError("tpujpeg", f"unsupported colorspace {colorspace!r}")

@@ -249,7 +249,7 @@ def build_transform(
     requires 4:4:4 and the Adobe-transform-0 bitstream flavor (the decoder
     must not apply the YCbCr inverse).
     """
-    if subsampling not in ("420", "444"):
+    if subsampling not in ("420", "444", "422", "440"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     if colorspace not in ("ycbcr", "xyb"):
         raise ValueError(f"unsupported colorspace {colorspace!r}")
@@ -283,17 +283,27 @@ def build_transform(
             cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
             cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
 
-        mcu = 16 if subsampling == "420" else 8
-        y = _pad_edge_2d(y, mcu)
-        cb = _pad_edge_2d(cb, mcu)
-        cr = _pad_edge_2d(cr, mcu)
-        if subsampling == "420":
-            # 2x2 box downsample (libjpeg h2v2 convention, without the
-            # fancy smoothing pass).
+        sh = 2 if subsampling in ("420", "422") else 1
+        sv = 2 if subsampling in ("420", "440") else 1
+
+        def pad2(p):
+            h0, w0 = p.shape
+            hp = -h0 % (8 * sv)
+            wp = -w0 % (8 * sh)
+            if hp or wp:
+                p = jnp.pad(p, ((0, hp), (0, wp)), mode="edge")
+            return p
+
+        y, cb, cr = pad2(y), pad2(cb), pad2(cr)
+        if sh == 2 or sv == 2:
+            # Box downsample along the subsampled axes (libjpeg h2v2/h2v1
+            # convention, without the fancy smoothing pass).
             def down(p):
-                return 0.25 * (
-                    p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
-                )
+                if sv == 2:
+                    p = 0.5 * (p[0::2, :] + p[1::2, :])
+                if sh == 2:
+                    p = 0.5 * (p[:, 0::2] + p[:, 1::2])
+                return p
 
             cb, cr = down(cb), down(cr)
 
@@ -306,13 +316,13 @@ def build_transform(
             )
 
         act_y = _activity_field(y)
-        if subsampling == "420":
-            ay = act_y.reshape(
-                act_y.shape[0] // 2, 2, act_y.shape[1] // 2, 2
-            )
-            act_c = jnp.max(ay, axis=(1, 3))
-        else:
-            act_c = act_y
+        act_c = act_y
+        if sv == 2:
+            a = act_c.reshape(act_c.shape[0] // 2, 2, act_c.shape[1])
+            act_c = jnp.max(a, axis=1)
+        if sh == 2:
+            a = act_c.reshape(act_c.shape[0], act_c.shape[1] // 2, 2)
+            act_c = jnp.max(a, axis=2)
         return {
             "dct_y": coeffs(y),
             "dct_cb": coeffs(cb),
@@ -365,23 +375,29 @@ def _triangle_up_matrix(n: int) -> np.ndarray:
     return a
 
 
-def _triangle_upsample2x(plane: jnp.ndarray) -> jnp.ndarray:
-    """Separable 2x triangle ("fancy") upsample with edge clamp — the
-    libjpeg h2v2 fancy-upsampling convention: out[2i] = (3 in[i] +
-    in[i-1]) / 4, out[2i+1] = (3 in[i] + in[i+1]) / 4 per axis.
-
-    Both axes run as matmuls against the sparse upsample operator (the
-    same MXU trick as blur.pair_mean_matrix for the downscale direction).
-    """
-    h, w = plane.shape
-    uh = jnp.asarray(_triangle_up_matrix(h))  # (h, 2h)
-    uw = jnp.asarray(_triangle_up_matrix(w))  # (w, 2w)
-    up_w = jnp.einsum(
+def _triangle_up_h(plane: jnp.ndarray) -> jnp.ndarray:
+    """2x triangle ("fancy") upsample along the width axis as an MXU
+    matmul against the sparse upsample operator (same trick as
+    blur.pair_mean_matrix in the downscale direction)."""
+    uw = jnp.asarray(_triangle_up_matrix(plane.shape[1]))  # (w, 2w)
+    return jnp.einsum(
         "hw,wW->hW", plane, uw, precision=jax.lax.Precision.HIGHEST
     )
+
+
+def _triangle_up_v(plane: jnp.ndarray) -> jnp.ndarray:
+    """2x triangle upsample along the height axis (matmul form)."""
+    uh = jnp.asarray(_triangle_up_matrix(plane.shape[0]))  # (h, 2h)
     return jnp.einsum(
-        "hH,hW->HW", uh, up_w, precision=jax.lax.Precision.HIGHEST
+        "hH,hW->HW", uh, plane, precision=jax.lax.Precision.HIGHEST
     )
+
+
+def _triangle_upsample2x(plane: jnp.ndarray) -> jnp.ndarray:
+    """Separable 2x2 triangle upsample with edge clamp — the libjpeg h2v2
+    fancy-upsampling convention: out[2i] = (3 in[i] + in[i-1]) / 4,
+    out[2i+1] = (3 in[i] + in[i+1]) / 4 per axis."""
+    return _triangle_up_v(_triangle_up_h(plane))
 
 
 def _scaled_xyb_to_rgb_u8(
@@ -484,9 +500,10 @@ def build_reconstruct_sweep(
             y = reconstruct_plane(cy, ql_zz)
             cb = reconstruct_plane(ccb, qc_zz)
             cr = reconstruct_plane(ccr, qc_zz)
-            if subsampling == "420":
-                cb = _triangle_upsample2x(cb)
-                cr = _triangle_upsample2x(cr)
+            if subsampling in ("420", "422"):
+                cb, cr = _triangle_up_h(cb), _triangle_up_h(cr)
+            if subsampling in ("420", "440"):
+                cb, cr = _triangle_up_v(cb), _triangle_up_v(cr)
             if colorspace == "xyb":
                 rgb = _scaled_xyb_to_rgb_u8(y, cb, cr, planar=planar_candidates)
             else:

@@ -223,8 +223,9 @@ def jpeg_encode_baseline(
         lib.ce_jpeg_encode_progressive if progressive
         else lib.ce_jpeg_encode_baseline2
     )
+    sub_code = {"444": 0, "420": 1, "422": 2, "440": 3}[subsampling]
     n = entry(
-        width, height, 1 if subsampling == "420" else 0,
+        width, height, sub_code,
         y.ctypes.data, cb.ctypes.data, cr.ctypes.data,
         y.shape[0], y.shape[1], cb.shape[0], cb.shape[1],
         ql.ctypes.data, qc.ctypes.data,

@@ -249,6 +249,7 @@ extern "C" {
 // app_mode: 0 = JFIF APP0 (channels are YCbCr); 1 = Adobe APP14 with
 // transform 0 (channels pass through undecoded — the container for the
 // XYB colorspace mode, whose channels must not get the YCbCr inverse).
+// subsampling codes: 0 = 4:4:4, 1 = 4:2:0, 2 = 4:2:2 (h2v1), 3 = 4:4:0 (h1v2).
 int64_t ce_jpeg_encode_baseline2(
     uint16_t width, uint16_t height, int subsampling,
     const int16_t* y_coeffs, const int16_t* cb_coeffs, const int16_t* cr_coeffs,
@@ -256,11 +257,12 @@ int64_t ce_jpeg_encode_baseline2(
     const uint16_t* qtab_luma_zz, const uint16_t* qtab_chroma_zz,
     uint8_t* out, size_t out_cap, int app_mode) {
     if (!y_coeffs || !cb_coeffs || !cr_coeffs || !out) return -1;
-    int sf = subsampling == 1 ? 2 : 1;
-    if (by_y != by_c * sf || bx_y != bx_c * sf) return -1;
+    int sh = (subsampling == 1 || subsampling == 2) ? 2 : 1;
+    int sv = (subsampling == 1 || subsampling == 3) ? 2 : 1;
+    if (by_y != by_c * sv || bx_y != bx_c * sh) return -1;
 
     Component comps[3] = {
-        {y_coeffs, by_y, bx_y, sf, sf, 0, 0, 0},
+        {y_coeffs, by_y, bx_y, sh, sv, 0, 0, 0},
         {cb_coeffs, by_c, bx_c, 1, 1, 1, 1, 0},
         {cr_coeffs, by_c, bx_c, 1, 1, 1, 1, 0},
     };
@@ -484,11 +486,12 @@ int64_t ce_jpeg_encode_progressive(
     const uint16_t* qtab_luma_zz, const uint16_t* qtab_chroma_zz,
     uint8_t* out, size_t out_cap, int app_mode) {
     if (!y_coeffs || !cb_coeffs || !cr_coeffs || !out) return -1;
-    int sf = subsampling == 1 ? 2 : 1;
-    if (by_y != by_c * sf || bx_y != bx_c * sf) return -1;
+    int sh = (subsampling == 1 || subsampling == 2) ? 2 : 1;
+    int sv = (subsampling == 1 || subsampling == 3) ? 2 : 1;
+    if (by_y != by_c * sv || bx_y != bx_c * sh) return -1;
 
     Component comps[3] = {
-        {y_coeffs, by_y, bx_y, sf, sf, 0, 0, 0},
+        {y_coeffs, by_y, bx_y, sh, sv, 0, 0, 0},
         {cb_coeffs, by_c, bx_c, 1, 1, 1, 1, 0},
         {cr_coeffs, by_c, bx_c, 1, 1, 1, 1, 0},
     };
@@ -497,8 +500,8 @@ int64_t ce_jpeg_encode_progressive(
     // Non-interleaved AC block counts from the true dims.
     uint32_t ny_y = (uint32_t(height) + 7) / 8;
     uint32_t nx_y = (uint32_t(width) + 7) / 8;
-    uint32_t ny_c = sf == 2 ? ((uint32_t(height) + 1) / 2 + 7) / 8 : ny_y;
-    uint32_t nx_c = sf == 2 ? ((uint32_t(width) + 1) / 2 + 7) / 8 : nx_y;
+    uint32_t ny_c = sv == 2 ? ((uint32_t(height) + 1) / 2 + 7) / 8 : ny_y;
+    uint32_t nx_c = sh == 2 ? ((uint32_t(width) + 1) / 2 + 7) / 8 : nx_y;
 
     // Progressive allows 4 AC tables; give each band its own optimized
     // statistics: 0 = Y low band, 1 = chroma, 2 = Y high band.

@@ -57,7 +57,7 @@ def test_zigzag_is_a_permutation_with_known_corners():
     assert je.ZIGZAG[63] == 63
 
 
-@pytest.mark.parametrize("subsampling", ["444", "420"])
+@pytest.mark.parametrize("subsampling", ["444", "420", "422", "440"])
 @pytest.mark.parametrize("dims", [(64, 64), (120, 94), (33, 17)])
 def test_bitstream_decodes_with_pil(subsampling, dims):
     """PIL (libjpeg-turbo) is the independent decoder oracle."""
@@ -164,7 +164,7 @@ def test_device_reconstruction_matches_libjpeg_decode():
     from codec_eval_tpu.utils import native
 
     img = _photo(120, 94, seed=5)
-    for sub in ("444", "420"):
+    for sub in ("444", "420", "422", "440"):
         qualities = [50.0, 85.0]
         qtabs = np.stack(
             [np.stack(je.quality_to_qtables(q)).astype(np.float32) for q in qualities]
