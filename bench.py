@@ -394,10 +394,15 @@ def main() -> None:
     # drifts ~1.5x in phases lasting minutes; a burst of back-to-back reps
     # samples only one phase, while spaced rounds give best-of a chance to
     # catch a faster one.
-    reps = 3
+    # Each timed round chains `chain` dispatches over distinct inputs and
+    # fetches ONE value of the last output: a single fetch costs ~25 ms
+    # RTT on this tunnel, which would otherwise be charged against every
+    # 25-image dispatch (~40% of its wall time).
+    chain = 3
     rounds = 3
-    inputs = [make_inputs(seed) for seed in range(reps * rounds + 1)]
+    inputs = [make_inputs(seed) for seed in range(chain * rounds + 1)]
     jax.block_until_ready(inputs)
+    _ = np.asarray(inputs[-1][1][0, 0, 0, :1])  # drain the transfer stream
 
     # Warmup / compile — and a correctness guard so a perf regression can
     # never hide behind wrong results: scores must be finite, <= 100, and an
@@ -427,13 +432,15 @@ def main() -> None:
         for rd in range(rounds):
             if rd:
                 time.sleep(2.5)
-            for i in range(reps):
-                t0 = time.perf_counter()
-                out = sweep(*inputs[1 + rd * reps + i])
-                # Materialize a value: block_until_ready alone can return
-                # before remote execution finishes on this backend.
-                _ = np.asarray(out[0])
-                times.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            out = None
+            for i in range(chain):
+                out = sweep(*inputs[1 + rd * chain + i])
+            # Materialize a value of the LAST dispatch: the device stream
+            # is serial, so its completion implies all priors completed
+            # (block_until_ready alone can return early on this backend).
+            _ = np.asarray(out[0])
+            times.append((time.perf_counter() - t0) / chain)
 
     images_per_sec = SWEEP / min(times)
     record = {

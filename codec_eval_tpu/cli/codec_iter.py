@@ -146,6 +146,19 @@ def cmd_sweep(args) -> int:
         ]
     elif args.format == "avif":
         codecs = [AvifIterConfig(preset=p).build() for p in sorted(AVIF_PRESETS)]
+    elif args.format == "tpujpeg":
+        # The zenjpeg-style config grid: subsampling x colorspace x scan
+        # structure (reference: crates/codec-iter/src/config.rs:5-67).
+        from ..iter.codecs import TpuJpegIterConfig
+
+        codecs = [
+            TpuJpegIterConfig(subsampling=s).build()
+            for s in ("420", "444", "422", "440")
+        ] + [
+            TpuJpegIterConfig(subsampling="420", progressive=True).build(),
+            TpuJpegIterConfig(xyb=True).build(),
+            TpuJpegIterConfig(subsampling="420", adaptive=False).build(),
+        ]
     else:
         codecs = [build_codec(args.format)]
     result = run_sweep(images, codecs, qualities)

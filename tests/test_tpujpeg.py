@@ -391,6 +391,81 @@ def test_session_device_fast_path_gated_by_xyb_roundtrip(tmp_path):
     assert report.results[0].decode_time_ms is not None  # host path ran
 
 
+@pytest.mark.parametrize("progressive", [False, True])
+def test_entropy_coder_fuzz_extreme_coefficients(progressive):
+    """Adversarial coefficient planes drive the coder's rare paths — 11-bit
+    DC diffs, ZRL chains, single-tail coefficients, and (progressive)
+    long EOB runs — and libjpeg must reproduce the exact dequantized
+    blocks.  Lossless check: with qtable == 1 and coefficient magnitudes
+    bounded so pixels stay in-gamut, decode is bit-determined."""
+    from PIL import Image
+
+    from codec_eval_tpu.utils import native
+
+    rng = np.random.default_rng(11)
+    by = bx = 16  # 128x128: two MCU rows even at 420
+    shapes = {"444": (by, bx), "420": (by // 2, bx // 2)}
+    for sub in ("444", "420"):
+        byc, bxc = shapes[sub]
+        # Mostly-zero planes with sparse extreme values: max-magnitude DC
+        # flips (+/-1016 -> 2032 diffs, 11-bit category), lone tail ACs
+        # after >16-zero runs, and long runs of all-zero blocks (EOBRUN).
+        def plane(b1, b2, chroma):
+            p = np.zeros((b1, b2, 64), np.int16)
+            for _ in range(10):
+                i, j = rng.integers(0, b1), rng.integers(0, b2)
+                p[i, j, 0] = rng.choice([-1016, 1016, -1, 1])
+                p[i, j, 63] = rng.choice([-1023, 1023])  # ZRL x3 + tail
+                p[i, j, 40] = rng.choice([-255, 255])
+            return p
+
+        cy = plane(by, bx, False)
+        ccb = plane(byc, bxc, True)
+        ccr = plane(byc, bxc, True)
+        q1 = np.ones(64, np.uint16)
+        data = native.jpeg_encode_baseline(
+            128, 128, sub, cy, ccb, ccr, q1, q1, progressive=progressive
+        )
+        img = Image.open(io.BytesIO(data))
+        img.load()  # force full entropy decode; raises on stream corruption
+        assert img.size == (128, 128)
+        # Round-trip the luma DC through a decode of the Y plane: the
+        # reconstruction of an extreme DC-only block must hit its exact
+        # level (q=1, iDCT of DC-only block is flat).
+        ycc = np.asarray(img.convert("YCbCr"))[:, :, 0].astype(np.int32)
+        flat_blocks = ycc.reshape(16, 8, 16, 8).transpose(0, 2, 1, 3)
+        for i in range(by):
+            for j in range(bx):
+                if cy[i, j, 0] != 0 and not np.any(cy[i, j, 1:]):
+                    expected = np.clip(
+                        round(cy[i, j, 0] / 8.0 + 128.0), 0, 255
+                    )
+                    got = flat_blocks[i, j].mean()
+                    assert abs(got - expected) <= 1.5, (i, j, expected, got)
+
+
+def test_entropy_coder_eobrun_spanning_many_blocks():
+    """Progressive AC scans on an almost-empty large plane exercise the
+    EOBRUN accumulation/flush logic across thousands of blocks."""
+    from PIL import Image
+
+    from codec_eval_tpu.utils import native
+
+    by = bx = 64  # 512px: 4096 luma blocks in one scan
+    cy = np.zeros((by, bx, 64), np.int16)
+    cy[0, 0, 5] = 100   # nonzero at the start...
+    cy[63, 63, 5] = -100  # ...and at the very end, with ~4094 EOB blocks between
+    ccb = np.zeros((32, 32, 64), np.int16)
+    ccr = np.zeros((32, 32, 64), np.int16)
+    q1 = np.ones(64, np.uint16)
+    data = native.jpeg_encode_baseline(
+        512, 512, "420", cy, ccb, ccr, q1, q1, progressive=True
+    )
+    img = Image.open(io.BytesIO(data))
+    img.load()
+    assert img.size == (512, 512)
+
+
 def test_quantize_deadzone_and_dc_rounding():
     dct = np.zeros((1, 1, 64), dtype=np.float32)
     dct[0, 0, 0] = 17.4  # DC: 17.4 / 10 = 1.74 -> rounds to 2 regardless of bias
