@@ -29,9 +29,17 @@ def _as_rgb8(img) -> np.ndarray:
 
 
 def evaluate_single(
-    reference, encoded, config: MetricConfig
+    reference, encoded, config: MetricConfig, viewing_simulation=None
 ) -> MetricResult:
     """Score one decoded image against a reference with the given metrics.
+
+    ``viewing_simulation`` optionally takes a
+    ``viewing.SimulationParams``: both images are passed through the
+    on-device viewing transform (linear-light resize to the simulated
+    display scale, kernels/resize.py) before scoring, so the metrics see
+    what the modeled viewer sees.  The reference prescribes this transform
+    but leaves resampling unimplemented (src/viewing.rs:244-301) and only
+    adjusts thresholds; here both strategies are available.
 
     reference: src/eval/helpers.rs:105-172.
     """
@@ -41,6 +49,13 @@ def evaluate_single(
         raise DimensionMismatch(
             (ref.shape[1], ref.shape[0]), (enc.shape[1], enc.shape[0])
         )
+    if viewing_simulation is not None:
+        import numpy as _np
+
+        from ..viewing import simulate_viewing
+
+        ref = _np.asarray(simulate_viewing(ref, viewing_simulation))
+        enc = _np.asarray(simulate_viewing(enc, viewing_simulation))
     return BatchScorer(config).score_pair(ref, enc)
 
 

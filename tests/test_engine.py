@@ -282,3 +282,30 @@ def test_sweep_scorer_matches_chunked():
 
     with pytest.raises(ValueError):
         _build_sweep_scorer(h, w, 10, 4, True, True, True, True, False)
+
+
+def test_evaluate_single_with_viewing_simulation():
+    """viewing_simulation resamples both images on device before scoring —
+    the pixel-transform half of the viewing model the reference only
+    prescribes (src/viewing.rs:244-301)."""
+    import numpy as np
+
+    from codec_eval_tpu.engine.helpers import evaluate_single
+    from codec_eval_tpu.metrics import MetricConfig
+    from codec_eval_tpu.viewing import SimulationMode, ViewingCondition
+
+    rng = np.random.default_rng(2)
+    y, x = np.mgrid[0:128, 0:128]
+    base = 120 + 70 * np.sin(x / 3.0) + 40 * np.cos(y / 2.5)
+    ref = np.clip(np.stack([base] * 3, -1), 0, 255).astype(np.uint8)
+    enc = np.clip(ref + rng.normal(0, 8, ref.shape), 0, 255).astype(np.uint8)
+
+    vc = ViewingCondition.desktop().with_image_intrinsic_dppx(0.5)
+    params = vc.simulation_params(128, 128, SimulationMode.ACCURATE)
+    assert params.scale_factor == 0.5
+    plain = evaluate_single(ref, enc, MetricConfig(ssimulacra2=True))
+    sim = evaluate_single(
+        ref, enc, MetricConfig(ssimulacra2=True), viewing_simulation=params
+    )
+    # Shrinking to the displayed size hides high-frequency noise.
+    assert sim.ssimulacra2 > plain.ssimulacra2 + 1.0
