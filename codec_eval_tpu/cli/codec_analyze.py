@@ -44,11 +44,14 @@ from ..iter.codecs import build_codec
 
 
 def _codec(spec: str):
-    """Spec: format[:subsampling[:prog|base]] or avif:preset."""
+    """Spec: format[:subsampling[:prog|base]], avif:preset, or
+    tpujpeg:xyb."""
     parts = spec.split(":")
     fmt = parts[0]
     if fmt == "avif" and len(parts) > 1:
         return build_codec("avif", preset=parts[1])
+    if fmt == "tpujpeg" and len(parts) > 1 and parts[1] == "xyb":
+        return build_codec("tpujpeg", xyb=True)
     sub = parts[1] if len(parts) > 1 else "420"
     prog = (parts[2] != "base") if len(parts) > 2 else True
     return build_codec(fmt, subsampling=sub, progressive=prog)
