@@ -43,6 +43,21 @@ def test_sharded_ladders_match_single_image_path():
     assert curve[0][0] < curve[1][0] and curve[0][1] < curve[1][1]
 
 
+def test_sharded_ladders_scores_only():
+    """with_sizes=False: no coefficient outputs cross the shard boundary
+    and no entropy pass runs; size accessors guard cleanly."""
+    from codec_eval_tpu.parallel.ladder_runner import sweep_corpus_ladders
+
+    res = sweep_corpus_ladders(
+        [_photo(i) for i in range(3)], [50.0, 90.0],
+        with_sizes=False, metrics=("ssimulacra2",),
+    )
+    assert res.scores["ssimulacra2"].shape == (3, 2)
+    assert res.sizes is None and res.bits_per_pixel is None
+    with pytest.raises(ValueError):
+        res.mean_curve("ssimulacra2")
+
+
 def test_sharded_ladders_rejects_mixed_sizes():
     from codec_eval_tpu.parallel.ladder_runner import sweep_corpus_ladders
 
