@@ -217,7 +217,10 @@ def jpeg_encode_baseline(
     cr = np.ascontiguousarray(cr_coeffs, dtype=np.int16)
     ql = np.ascontiguousarray(qtab_luma_zz, dtype=np.uint16)
     qc = np.ascontiguousarray(qtab_chroma_zz, dtype=np.uint16)
-    cap = y.nbytes + cb.nbytes + cr.nbytes + (1 << 16)
+    # Worst-case entropy-coded size can exceed the raw int16 bytes (a dense
+    # plane of large magnitudes costs up to ~27 bits per coefficient);
+    # 2x raw + headers covers it with room to spare.
+    cap = 2 * (y.nbytes + cb.nbytes + cr.nbytes) + (1 << 16)
     out = np.empty(cap, dtype=np.uint8)
     entry = (
         lib.ce_jpeg_encode_progressive if progressive

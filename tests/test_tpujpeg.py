@@ -444,6 +444,29 @@ def test_entropy_coder_fuzz_extreme_coefficients(progressive):
                     assert abs(got - expected) <= 1.5, (i, j, expected, got)
 
 
+def test_entropy_coder_dense_worst_case_plane():
+    """A dense plane of maximum-magnitude coefficients stresses the output
+    capacity bound (~27 bits/coefficient before stuffing) and must still
+    produce a parseable stream."""
+    from PIL import Image
+
+    from codec_eval_tpu.utils import native
+
+    rng = np.random.default_rng(3)
+    cy = (rng.choice([-1, 1], size=(8, 8, 64)) * 1023).astype(np.int16)
+    ccb = (rng.choice([-1, 1], size=(4, 4, 64)) * 1023).astype(np.int16)
+    ccr = np.copy(ccb)
+    q1 = np.ones(64, np.uint16)
+    for progressive in (False, True):
+        data = native.jpeg_encode_baseline(
+            64, 64, "420", cy, ccb, ccr, q1, q1, progressive=progressive
+        )
+        assert len(data) > cy.nbytes  # denser than the raw plane
+        img = Image.open(io.BytesIO(data))
+        img.load()
+        assert img.size == (64, 64)
+
+
 def test_entropy_coder_eobrun_spanning_many_blocks():
     """Progressive AC scans on an almost-empty large plane exercise the
     EOBRUN accumulation/flush logic across thousands of blocks."""
