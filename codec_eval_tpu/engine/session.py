@@ -140,6 +140,10 @@ class EvalSession:
         self.config = config
         self._codecs: List[_CodecEntry] = []
         self._scorer = BatchScorer(config.metrics)
+        #: Device-fast-path observability: fallbacks are survivable by
+        #: design, but silent ones would hide real defects.
+        self.device_sweeps_run = 0
+        self.device_sweep_fallbacks = 0
 
     def add_codec(self, codec_id: str, version: str, encode: EncodeFn) -> "EvalSession":
         self._codecs.append(_CodecEntry(codec_id, version, encode, None))
@@ -232,10 +236,19 @@ class EvalSession:
             if self._device_sweep_ok(codec):
                 try:
                     staged.extend(self._stage_codec_device(name, image, codec))
+                    self.device_sweeps_run += 1
                     continue
-                except Exception:
-                    # Fall back to the per-cell host path below.
-                    pass
+                except Exception as e:  # noqa: BLE001 - fall back, loudly
+                    import warnings
+
+                    self.device_sweep_fallbacks += 1
+                    warnings.warn(
+                        f"device sweep failed for {codec.id} "
+                        f"({type(e).__name__}: {e}); using the host "
+                        "per-cell path",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             for quality in self.config.quality_levels:
                 try:
                     staged.append(self._stage_cell(name, image, codec, quality))

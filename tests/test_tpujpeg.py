@@ -349,6 +349,7 @@ def test_session_device_fast_path_matches_callback_path(tmp_path):
         codec.id(), codec.version(), codec.encode_fn(), codec.decode_fn()
     )
     rf = fast.evaluate_image("img", ImageData.rgb8(img))
+    assert fast.device_sweeps_run == 1 and fast.device_sweep_fallbacks == 0
     rs = slow.evaluate_image("img", ImageData.rgb8(img))
     assert [(r.codec_id, r.quality) for r in rf.results] == [
         (r.codec_id, r.quality) for r in rs.results
