@@ -14,6 +14,7 @@ from .pil_codecs import (
 from .jxl import JpegXlCodec
 from .tpujpeg import TpuJpegCodec
 from .registry import CodecRegistry, CompareConfig, FormatSelection
+from .html_report import generate_html
 from .report import (
     CodecStats,
     ComparisonStats,
@@ -48,5 +49,6 @@ __all__ = [
     "ReportGenerator",
     "compute_statistics",
     "extract_rd_points",
+    "generate_html",
     "per_quality_series",
 ]

@@ -177,7 +177,8 @@ def compute_statistics(report: CorpusReport, metric: Metric) -> ComparisonStats:
 
 class ReportGenerator:
     """Writes pareto.svg, per-format pareto_<fmt>.svg, stats.json,
-    pareto.json.  reference: crates/codec-compare/src/report.rs:82-117."""
+    pareto.json (reference: crates/codec-compare/src/report.rs:82-117),
+    plus a self-contained report.html the reference leaves to consumers."""
 
     def __init__(self, output_dir, metric: Metric = Metric.SSIMULACRA2):
         self.output_dir = Path(output_dir)
@@ -230,6 +231,10 @@ class ReportGenerator:
             json.dump(stats.to_json(), f, indent=2)
         with open(self.output_dir / "pareto.json", "w") as f:
             json.dump(pareto.to_json(), f, indent=2)
+
+        from .html_report import generate_html
+
+        (self.output_dir / "report.html").write_text(generate_html(report))
 
         return {"pareto": pareto, "stats": stats}
 
