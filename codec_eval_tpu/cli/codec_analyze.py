@@ -44,14 +44,19 @@ from ..iter.codecs import build_codec
 
 
 def _codec(spec: str):
-    """Spec: format[:subsampling[:prog|base]], avif:preset, or
-    tpujpeg:xyb."""
+    """Spec: format[:subsampling[:prog|base]], avif:preset,
+    tpujpeg:xyb, or tpujpeg:trellis[:subsampling]."""
     parts = spec.split(":")
     fmt = parts[0]
     if fmt == "avif" and len(parts) > 1:
         return build_codec("avif", preset=parts[1])
     if fmt == "tpujpeg" and len(parts) > 1 and parts[1] == "xyb":
         return build_codec("tpujpeg", xyb=True)
+    if fmt == "tpujpeg" and len(parts) > 1 and parts[1] == "trellis":
+        return build_codec(
+            "tpujpeg", trellis=True, progressive=False,
+            subsampling=parts[2] if len(parts) > 2 else "420",
+        )
     sub = parts[1] if len(parts) > 1 else "420"
     prog = (parts[2] != "base") if len(parts) > 2 else True
     return build_codec(fmt, subsampling=sub, progressive=prog)

@@ -158,6 +158,7 @@ def cmd_sweep(args) -> int:
             TpuJpegIterConfig(subsampling="420", progressive=True).build(),
             TpuJpegIterConfig(xyb=True).build(),
             TpuJpegIterConfig(subsampling="420", adaptive=False).build(),
+            TpuJpegIterConfig(subsampling="420", trellis=True).build(),
         ]
     else:
         codecs = [build_codec(args.format)]

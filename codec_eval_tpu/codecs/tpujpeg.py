@@ -25,16 +25,29 @@ jpegli itself is not present in this environment):
   analog of the scorer's reference-precompute reuse
   (reference precedent: crates/codec-iter/src/eval.rs:138-149).
 
-Measured ladder position (tools/tpujpeg_bench.py, 2026-08-18, BD-rate in
-SSIMULACRA2 vs PIL libjpeg-turbo 4:2:0 optimized, q50-95, 512px synthetic
-corpora): plain tpujpeg-420 -4.5% (optimized-Huffman + rounding details);
-tpujpeg-420-aq -37% on the noisy corpus and -9.2% on a clean
-(noise-free gradients/edges/texture) corpus.  The noisy number is
-inflated — the deadzone deletes exactly the sensor-noise coefficients
-SSIMULACRA2 barely scores — so treat the clean-corpus figure as the
-representative one.  aq_strength=0.30 is the calibrated default: the
-clean corpus peaks there (-9.2% vs -5.1% at 0.45), while the noisy
-corpus is already within 1.5pt of its asymptote.
+- **Trellis quantization** (``trellis=True``): rate-distortion-optimal AC
+  coefficient selection by dynamic program (kernels/jpeg_enc.py
+  ``trellis_quantize_blocks``) — the standard-decodable technique the
+  reference's AVIF ladder names a preset after (qm-trellis,
+  crates/codec-iter/src/avif_config.rs:33-68).  Replaces the AQ bias.
+
+Measured ladder position (tools/tpujpeg_bench.py --clean, 2026-08-18,
+BD-rate vs PIL libjpeg-turbo 4:2:0 optimized, q50-95, 8x 512px noise-free
+synthetic photos — gradients, hard edges, smooth texture;
+SSIMULACRA2 / Butteraugli):
+
+    plain tpujpeg-420        -4.6% / -1.2%
+    tpujpeg-420-aq (0.30)   -20.6% / -27.6%
+    tpujpeg-420-trellis     -24.1% / -25.6%   (lambda = 0.10, the default)
+
+The trellis lambda sweep is two-sided: larger lambda keeps improving
+SSIMULACRA2 (-27.8% at 0.20) while degrading Butteraugli (-16.5% at 0.20,
++4.3% at 0.40) — it starts deleting texture SSIMULACRA2 underweights.
+lambda=0.10 is the calibrated default (both metrics within ~2pt of their
+optima).  On noisy content every deadzone-family number is inflated (the
+zeroing deletes exactly the sensor noise perceptual metrics barely
+score); clean-corpus figures are the representative ones.
+aq_strength=0.30 stays the AQ default from the same scan protocol.
 """
 
 from __future__ import annotations
@@ -67,10 +80,15 @@ class TpuJpegCodec(CodecImpl):
     Parameters
     ----------
     subsampling: "420" (default), "444", "422", or "440".
-    adaptive: enable the activity-driven rounding bias (default True).
+    adaptive: enable the activity-driven rounding bias (default True;
+        forced off by ``trellis``, which replaces it).
     aq_strength: maximum reduction of the AC rounding offset at full
         activity; 0.30 means busy blocks round with offset 0.5 - 0.30.
         Calibrated by tools/tpujpeg_bench.py.
+    trellis: rate-distortion-optimal AC selection (baseline mode only).
+    trellis_lambda: bits-vs-distortion tradeoff of the trellis DP, in
+        (quantizer-step)^2 per bit.  0.10 calibrated by
+        tools/tpujpeg_bench.py --trellis-scan --clean.
     """
 
     def __init__(
@@ -80,6 +98,8 @@ class TpuJpegCodec(CodecImpl):
         aq_strength: float = 0.30,
         colorspace: str = "ycbcr",
         progressive: bool = False,
+        trellis: bool = False,
+        trellis_lambda: float = 0.10,
     ):
         if subsampling not in ("420", "444", "422", "440"):
             raise CodecError("tpujpeg", f"unsupported subsampling {subsampling!r}")
@@ -87,11 +107,24 @@ class TpuJpegCodec(CodecImpl):
             raise CodecError("tpujpeg", f"unsupported colorspace {colorspace!r}")
         if colorspace == "xyb":
             subsampling = "444"  # XYB mode is 4:4:4 only
+        if trellis and progressive:
+            # The trellis rate model is the baseline (run, size) alphabet;
+            # progressive scans code a different symbol stream.
+            raise CodecError("tpujpeg", "trellis requires baseline mode")
+        if trellis:
+            # Trellis replaces the AQ rounding bias; activity-modulated
+            # lambda was measured strictly worse at every lambda
+            # (tools/tpujpeg_bench.py --trellis-scan, 2026-08-18): the DP
+            # already prices busy blocks through their symbol costs, so
+            # scaling lambda by activity double-counts masking.
+            adaptive = False
         self.subsampling = subsampling
         self.adaptive = adaptive
         self.aq_strength = float(aq_strength)
         self.colorspace = colorspace
         self.progressive = bool(progressive)
+        self.trellis = bool(trellis)
+        self.trellis_lambda = float(trellis_lambda)
         # One-slot transform memo: the session sweeps qualities per image,
         # so consecutive encode() calls see the same pixels (keyed by FNV
         # of the raw bytes to stay correct if they do not).
@@ -104,9 +137,10 @@ class TpuJpegCodec(CodecImpl):
     def id(self) -> str:
         aq = "-aq" if self.adaptive else ""
         prog = "-prog" if self.progressive else ""
+        tre = "-trellis" if self.trellis else ""
         if self.colorspace == "xyb":
-            return f"tpujpeg-xyb{aq}{prog}"
-        return f"tpujpeg-{self.subsampling}{aq}{prog}"
+            return f"tpujpeg-xyb{aq}{tre}{prog}"
+        return f"tpujpeg-{self.subsampling}{aq}{tre}{prog}"
 
     def version(self) -> str:
         return "1.0"
@@ -160,6 +194,12 @@ class TpuJpegCodec(CodecImpl):
         w, h = rgb.shape[1], rgb.shape[0]
         return [self._encode_from_transform(tr, w, h, float(q)) for q in qualities]
 
+    def supports_device_sweep(self) -> bool:
+        """The device ladder reproduces this codec's exact quantization;
+        trellis decisions are a host DP the device path does not implement,
+        so trellis codecs take the host encode path."""
+        return not self.trellis
+
     def device_sweep(
         self,
         image: ImageData,
@@ -170,6 +210,11 @@ class TpuJpegCodec(CodecImpl):
         """Whole-ladder device evaluation (engine/tpu_sweep.py) with this
         codec's exact settings — the capability hook EvalSession uses to
         fuse encode/decode/score on device for tpujpeg codecs."""
+        if self.trellis:
+            raise CodecError(
+                self.id(), "device_sweep does not implement trellis; use the "
+                "host encode path"
+            )
         from ..engine.tpu_sweep import evaluate_tpujpeg_sweep
 
         return evaluate_tpujpeg_sweep(
@@ -211,9 +256,23 @@ class TpuJpegCodec(CodecImpl):
         self, tr: Dict[str, np.ndarray], width: int, height: int, quality: float
     ) -> bytes:
         ql, qc = self._qtables(quality)
-        qy = _je.quantize_blocks(tr["dct_y"], ql, self._bias(tr["act_y"]))
-        qcb = _je.quantize_blocks(tr["dct_cb"], qc, self._bias(tr["act_c"]))
-        qcr = _je.quantize_blocks(tr["dct_cr"], qc, self._bias(tr["act_c"]))
+        if self.trellis:
+            # Rate model: optimized-Huffman lengths fitted to this image's
+            # own round-to-nearest statistics at this quality — the same
+            # model the two-pass entropy coder will realize.
+            qy0 = _je.quantize_blocks(tr["dct_y"], ql, 0.5)
+            qcb0 = _je.quantize_blocks(tr["dct_cb"], qc, 0.5)
+            qcr0 = _je.quantize_blocks(tr["dct_cr"], qc, 0.5)
+            len_y = _je.ac_code_lengths([qy0])
+            len_c = _je.ac_code_lengths([qcb0, qcr0])
+            lam = self.trellis_lambda
+            qy = _je.trellis_quantize_blocks(tr["dct_y"], ql, len_y, lam)
+            qcb = _je.trellis_quantize_blocks(tr["dct_cb"], qc, len_c, lam)
+            qcr = _je.trellis_quantize_blocks(tr["dct_cr"], qc, len_c, lam)
+        else:
+            qy = _je.quantize_blocks(tr["dct_y"], ql, self._bias(tr["act_y"]))
+            qcb = _je.quantize_blocks(tr["dct_cb"], qc, self._bias(tr["act_c"]))
+            qcr = _je.quantize_blocks(tr["dct_cr"], qc, self._bias(tr["act_c"]))
         return _native.jpeg_encode_baseline(
             width, height, self.subsampling,
             qy, qcb, qcr, ql[_je.ZIGZAG], qc[_je.ZIGZAG],
@@ -232,4 +291,5 @@ class TpuJpegCodec(CodecImpl):
             cls(subsampling="444", adaptive=False),
             cls(colorspace="xyb", adaptive=True),
             cls(subsampling="420", adaptive=True, progressive=True),
+            cls(subsampling="420", trellis=True),
         ]

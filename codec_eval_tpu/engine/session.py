@@ -275,6 +275,7 @@ class EvalSession:
         return (
             codec.impl is not None
             and hasattr(codec.impl, "device_sweep")
+            and getattr(codec.impl, "supports_device_sweep", lambda: True)()
             and not m.xyb_roundtrip
             and (m.dssim or m.ssimulacra2 or m.butteraugli or m.psnr)
         )

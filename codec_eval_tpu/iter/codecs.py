@@ -118,9 +118,11 @@ class TpuJpegIterConfig:
     adaptive: bool = True
     xyb: bool = False
     progressive: bool = False
+    trellis: bool = False
 
     def summary(self) -> str:
-        aq = "aq" if self.adaptive else "plain"
+        # trellis replaces the AQ bias (TpuJpegCodec forces adaptive off)
+        aq = "trellis" if self.trellis else ("aq" if self.adaptive else "plain")
         prog = "-prog" if self.progressive else ""
         if self.xyb:
             return f"tpujpeg-xyb-{aq}{prog}"
@@ -140,6 +142,7 @@ class TpuJpegIterConfig:
             adaptive=self.adaptive,
             colorspace="xyb" if self.xyb else "ycbcr",
             progressive=self.progressive,
+            trellis=self.trellis,
         )
 
         def encode(rgb: np.ndarray, quality: int) -> bytes:
@@ -180,6 +183,7 @@ def build_codec(
     preset: str = "baseline",
     webp_method: int = 4,
     xyb: bool = False,
+    trellis: bool = False,
 ) -> Codec:
     """Format dispatch.  reference: crates/codec-iter/src/main.rs:252-295."""
     fmt = fmt.lower()
@@ -191,6 +195,7 @@ def build_codec(
         return WebpIterConfig(method=webp_method).build()
     if fmt == "tpujpeg":
         return TpuJpegIterConfig(
-            subsampling=subsampling, xyb=xyb, progressive=progressive
+            subsampling=subsampling, xyb=xyb, progressive=progressive,
+            trellis=trellis,
         ).build()
     raise UnsupportedFormat(f"unknown format '{fmt}' (jpeg|avif|webp|tpujpeg)")

@@ -37,11 +37,15 @@ import jax.numpy as jnp
 
 __all__ = [
     "ZIGZAG",
+    "ac_code_lengths",
+    "ac_symbol_histogram",
     "dct8_matrix",
+    "huffman_code_lengths",
     "jpeg_transform",
     "build_transform",
     "quantize_blocks",
     "quality_to_qtables",
+    "trellis_quantize_blocks",
 ]
 
 #: Natural-order index of each coefficient in zigzag scan order
@@ -556,3 +560,191 @@ def quantize_blocks(
     # undecodable symbol.
     qc = np.minimum(qc, 1023.0)
     return (np.sign(dct_zz) * qc).astype(np.int16)
+
+
+# -- trellis quantization -----------------------------------------------------
+#
+# Rate-distortion-optimal AC coefficient selection, the standard-decodable
+# encoder technique mozjpeg ships as "trellis" and the reference's AVIF
+# ladder names a preset after (crates/codec-iter/src/avif_config.rs:33-68,
+# `qm-trellis`).  Independent formulation: per block, choose quantized AC
+# values minimizing
+#
+#     J = sum_k (x_k - c_k)^2  +  lambda * bits
+#
+# where x_k = |F_k| / q_k.  Measuring distortion in quantizer-step units
+# makes the q-table itself the perceptual weighting, so one scale-free
+# lambda works across qualities and frequencies.  bits comes from an
+# optimized-Huffman length model built from THIS image's round-to-nearest
+# statistics — self-consistent with the two-pass optimized-Huffman entropy
+# coder that ultimately writes the file (native/jpeg_entropy.cpp).
+
+
+def _ac_bit_sizes(mag: np.ndarray) -> np.ndarray:
+    """JPEG magnitude category (bit length) of non-negative int magnitudes."""
+    out = np.zeros(mag.shape, dtype=np.int64)
+    m = mag.astype(np.int64)
+    while np.any(m):
+        nz = m > 0
+        out[nz] += 1
+        m >>= 1
+    return out
+
+
+def ac_symbol_histogram(qz: np.ndarray, hist: "np.ndarray | None" = None) -> np.ndarray:
+    """Histogram of baseline AC (run, size) symbols (256 bins, run<<4|size)
+    produced by run-length coding the given zigzag quantized blocks."""
+    if hist is None:
+        hist = np.zeros(256, dtype=np.int64)
+    q = np.abs(qz.reshape(-1, 64).astype(np.int64))
+    run = np.zeros(q.shape[0], dtype=np.int64)
+    for k in range(1, 64):
+        c = q[:, k]
+        nz = c > 0
+        if np.any(nz):
+            r = run[nz]
+            hist[0xF0] += int((r // 16).sum())
+            sizes = _ac_bit_sizes(c[nz])
+            np.add.at(hist, ((r % 16) << 4) | sizes, 1)
+            run[nz] = 0
+        run[~nz] += 1
+    hist[0x00] += int((run > 0).sum())  # EOB for blocks with a zero tail
+    return hist
+
+
+def huffman_code_lengths(freq: np.ndarray, default: int = 16) -> np.ndarray:
+    """Huffman code length per symbol for the given frequencies (unseen
+    symbols get ``default``).  Unlimited-depth lengths are an adequate rate
+    model; the entropy coder builds its own canonical 16-bit-limited codes."""
+    import heapq
+
+    idx = np.flatnonzero(freq)
+    lengths = np.full(freq.shape[0], float(default), dtype=np.float32)
+    if idx.size == 0:
+        return lengths
+    if idx.size == 1:
+        lengths[idx[0]] = 1.0
+        return lengths
+    depth = np.zeros(freq.shape[0], dtype=np.float32)
+    heap = [(int(freq[i]), int(i), [int(i)]) for i in idx]
+    heapq.heapify(heap)
+    tiebreak = int(freq.shape[0])
+    while len(heap) > 1:
+        fa, _, la = heapq.heappop(heap)
+        fb, _, lb = heapq.heappop(heap)
+        merged = la + lb
+        depth[merged] += 1.0
+        heapq.heappush(heap, (fa + fb, tiebreak, merged))
+        tiebreak += 1
+    lengths[idx] = depth[idx]
+    return lengths
+
+
+def ac_code_lengths(planes) -> np.ndarray:
+    """(16, 11) bit-length model for AC (run, size) symbols, from an
+    optimized-Huffman fit to the given quantized planes (a list of zigzag
+    int16 block arrays of one table class — luma, or both chroma)."""
+    hist = np.zeros(256, dtype=np.int64)
+    for qz in planes:
+        ac_symbol_histogram(qz, hist)
+    lengths = huffman_code_lengths(hist)
+    table = np.full((16, 11), 16.0, dtype=np.float32)
+    for run in range(16):
+        for size in range(11):
+            sym = (run << 4) | size
+            if size > 0 or run in (0, 15):  # valid symbols: EOB, ZRL, (r,s>0)
+                table[run, size] = lengths[sym]
+    return table
+
+
+def trellis_quantize_blocks(
+    dct_zz: np.ndarray,
+    qtable_natural: np.ndarray,
+    ac_lengths: np.ndarray,
+    lmbda: "float | np.ndarray" = 0.35,
+) -> np.ndarray:
+    """Rate-distortion-optimal quantization of zigzag-order DCT blocks.
+
+    Dynamic program over the 63 AC positions of every block (vectorized
+    across blocks): state = position of the previous nonzero coefficient;
+    transitions pay the zeroed coefficients' distortion, the (run, size)
+    symbol bits (ZRL chains for runs >= 16), and the appended magnitude
+    bits; candidates per position are round-to-nearest and one step toward
+    zero.  Distortion is (|F|/q - c)^2 — quantizer-step units, so ``lmbda``
+    is scale-free across qualities.  ``lmbda`` may be a per-block array
+    (the block-grid shape of ``dct_zz[..., 0]``) for activity-modulated
+    trellis.  DC always rounds to nearest (as ``quantize_blocks``).
+    Returns int16 zigzag blocks, same shape.
+    """
+    q = np.asarray(qtable_natural, dtype=np.float32)[ZIGZAG]
+    lead = dct_zz.shape[:-1]
+    F = dct_zz.reshape(-1, 64).astype(np.float32)
+    B = F.shape[0]
+    lam = np.asarray(lmbda, dtype=np.float32)
+    lam_b = np.full(B, float(lam), np.float32) if lam.ndim == 0 else lam.reshape(B)
+    x = np.abs(F) / q  # (B, 64)
+    sign = np.sign(F)
+
+    c0 = np.minimum(np.floor(x + 0.5), 1023.0)  # round-to-nearest magnitude
+    c1 = np.maximum(c0 - 1.0, 0.0)  # one step toward zero
+    cands = np.stack([c0, c1])  # (2, B, 64)
+    csize = _ac_bit_sizes(cands.astype(np.int64)).astype(np.int64)  # (2,B,64)
+
+    L = np.asarray(ac_lengths, dtype=np.float32)  # (16, 11)
+    l_zrl = float(L[15, 0])
+    l_eob = float(L[0, 0])
+
+    # Zero-distortion prefix sums over AC: P[:, j] = sum_{1<=i<=j} x_i^2.
+    P = np.zeros((B, 64), dtype=np.float32)
+    np.cumsum(x[:, 1:] ** 2, axis=1, out=P[:, 1:])
+
+    NEG = np.float32(np.inf)
+    best = np.full((B, 64), NEG, dtype=np.float32)
+    best[:, 0] = 0.0  # state 0: no nonzero AC yet
+    prev = np.zeros((B, 64), dtype=np.int8)
+    vals = np.zeros((B, 64), dtype=np.int16)
+
+    for k in range(1, 64):
+        j = np.arange(k)  # previous nonzero position (0 = none yet)
+        r = k - 1 - j  # zero-run length, (k,)
+        runbits = (r // 16).astype(np.float32) * l_zrl  # ZRL chain
+        Lr = L[r % 16]  # (k, 11)
+        dist_zero = P[:, k - 1][None, :] - P[:, j].T  # (k, B)
+        base = best[:, :k].T + dist_zero  # (k, B)
+        # Candidate costs: (2, k, B)
+        total = np.full((2, k, B), NEG, dtype=np.float32)
+        for ci in range(2):
+            c = cands[ci, :, k]  # (B,)
+            valid = c > 0
+            if not np.any(valid):
+                continue
+            s = csize[ci, :, k]  # (B,)
+            sym_bits = Lr[:, s] + s.astype(np.float32)[None, :]  # (k, B)
+            d = (x[:, k] - c) ** 2  # (B,)
+            t = base + lam_b[None, :] * (runbits[:, None] + sym_bits) + d[None, :]
+            total[ci] = np.where(valid[None, :], t, NEG)
+        flat = total.reshape(2 * k, B)
+        pick = np.argmin(flat, axis=0)  # (B,)
+        best[:, k] = flat[pick, np.arange(B)]
+        prev[:, k] = (pick % k).astype(np.int8)
+        vals[:, k] = cands[pick // k, np.arange(B), k].astype(np.int16)
+
+    # Terminate: zero tail after last nonzero j, EOB unless j == 63.
+    j = np.arange(64)
+    tail = P[:, 63][:, None] - P[:, j][None, :].reshape(B, 64)
+    end_bits = np.where(j < 63, l_eob, 0.0).astype(np.float32)
+    # State 0 with a fully-zero block still needs its EOB.
+    totals = best + tail + lam_b[:, None] * end_bits[None, :]
+    jlast = np.argmin(totals, axis=1)  # (B,)
+
+    out = np.zeros((B, 64), dtype=np.int16)
+    out[:, 0] = (sign[:, 0] * np.minimum(np.floor(x[:, 0] + 0.5), 2047.0)).astype(
+        np.int16
+    )
+    cur = jlast.astype(np.int64)
+    for k in range(63, 0, -1):
+        on = cur == k
+        if np.any(on):
+            out[on, k] = (sign[on, k] * vals[on, k]).astype(np.int16)
+            cur[on] = prev[on, k]
+    return out.reshape(*lead, 64)

@@ -499,3 +499,125 @@ def test_quantize_deadzone_and_dc_rounding():
     dead = je.quantize_blocks(dct, qt, np.full((1, 1), 0.2, np.float32))
     assert full[0, 0, 0] == 2 and dead[0, 0, 0] == 2
     assert full[0, 0, 5] == 1 and dead[0, 0, 5] == 0
+
+
+# -- trellis quantization -----------------------------------------------------
+
+
+def test_trellis_lambda_zero_is_round_to_nearest():
+    """With no rate pressure the DP must reproduce plain quantization."""
+    rng = np.random.default_rng(5)
+    dct = rng.normal(0, 25, (4, 5, 64)).astype(np.float32)
+    dct[..., 0] = rng.normal(0, 180, (4, 5))
+    q = np.linspace(4, 40, 64)
+    plain = je.quantize_blocks(dct, q, 0.5)
+    lengths = je.ac_code_lengths([plain])
+    assert np.array_equal(
+        je.trellis_quantize_blocks(dct, q, lengths, lmbda=0.0), plain
+    )
+
+
+def test_trellis_zeroes_isolated_expensive_coefficients():
+    """An isolated small high-frequency coefficient costs a long zero run
+    plus a symbol; the DP must drop it while keeping the cheap large one."""
+    q = np.full(64, 8.0)
+    blk = np.zeros((1, 1, 64), np.float32)
+    blk[0, 0, 1] = 100.0  # 12.5 quantizer steps, adjacent to DC: keep
+    blk[0, 0, 50] = 9.0  # ~1 step after a 48-zero run: drop
+    lengths = np.full((16, 11), 8.0, dtype=np.float32)
+    out = je.trellis_quantize_blocks(blk, q, lengths, lmbda=0.5)
+    assert out[0, 0, 1] == 13
+    assert out[0, 0, 50] == 0
+
+
+def test_trellis_sparsity_monotone_in_lambda():
+    rng = np.random.default_rng(11)
+    dct = rng.normal(0, 30, (8, 8, 64)).astype(np.float32)
+    q = np.full(64, 8.0)
+    lengths = je.ac_code_lengths([je.quantize_blocks(dct, q, 0.5)])
+    nz = [
+        np.count_nonzero(je.trellis_quantize_blocks(dct, q, lengths, lmbda=l))
+        for l in (0.0, 0.5, 2.0)
+    ]
+    assert nz[0] >= nz[1] >= nz[2]
+    assert nz[2] < nz[0]
+
+
+def test_huffman_code_lengths_model():
+    """Kraft inequality holds and frequent symbols get shorter codes."""
+    freq = np.zeros(256, np.int64)
+    freq[0x00] = 1000  # EOB very common
+    freq[0x01] = 500
+    freq[0x22] = 10
+    freq[0xF0] = 1
+    lengths = je.huffman_code_lengths(freq)
+    seen = [0x00, 0x01, 0x22, 0xF0]
+    assert sum(2.0 ** -lengths[s] for s in seen) <= 1.0 + 1e-9
+    assert lengths[0x00] <= lengths[0x01] <= lengths[0x22] <= lengths[0xF0]
+    assert lengths[0x33] == 16.0  # unseen symbol gets the default
+
+
+def test_trellis_bitstream_decodes_and_beats_plain_size():
+    from PIL import Image
+
+    img = _photo(160, 128)
+    plain = TpuJpegCodec(adaptive=False)
+    tre = TpuJpegCodec(adaptive=False, trellis=True)
+    for q in (50.0, 85.0):
+        d_plain = plain.encode(ImageData.rgb8(img), EncodeRequest(q))
+        d_tre = tre.encode(ImageData.rgb8(img), EncodeRequest(q))
+        dec = np.asarray(Image.open(io.BytesIO(d_tre)).convert("RGB"))
+        assert dec.shape == img.shape
+        assert len(d_tre) < len(d_plain)
+        rms_tre = float(np.sqrt(np.mean((dec.astype(np.float64) - img) ** 2)))
+        rms_plain = float(
+            np.sqrt(
+                np.mean(
+                    (
+                        np.asarray(
+                            Image.open(io.BytesIO(d_plain)).convert("RGB")
+                        ).astype(np.float64)
+                        - img
+                    )
+                    ** 2
+                )
+            )
+        )
+        # RD-sane: size savings must not come from wrecking fidelity.
+        assert rms_tre < rms_plain * 1.25, (rms_tre, rms_plain)
+
+
+def test_trellis_rejects_progressive_and_gates_device_sweep():
+    from codec_eval_tpu.errors import CodecError
+
+    with pytest.raises(CodecError):
+        TpuJpegCodec(trellis=True, progressive=True)
+    codec = TpuJpegCodec(trellis=True)
+    assert codec.supports_device_sweep() is False
+    assert codec.adaptive is False  # trellis replaces the AQ bias
+    assert codec.id() == "tpujpeg-420-trellis"
+    with pytest.raises(CodecError):
+        codec.device_sweep(
+            ImageData.rgb8(_photo(64, 64)), [75.0], ["psnr"]
+        )
+
+
+def test_trellis_session_takes_host_path(tmp_path):
+    """A trellis codec in a session must not use the device ladder
+    (its quantization differs), and still produce a full report."""
+    from codec_eval_tpu.engine.session import EvalConfig, EvalSession
+    from codec_eval_tpu.metrics import MetricConfig
+
+    config = (
+        EvalConfig.builder()
+        .report_dir(str(tmp_path))
+        .metrics(MetricConfig.ssimulacra2_only())
+        .quality_levels([60.0, 90.0])
+        .build()
+    )
+    session = EvalSession(config)
+    session.add_codec_impl(TpuJpegCodec(trellis=True, adaptive=False))
+    report = session.evaluate_image("t", ImageData.rgb8(_photo(96, 96)))
+    assert session.device_sweeps_run == 0
+    assert len(report.results) == 2
+    assert all(r.metrics.ssimulacra2 is not None for r in report.results)

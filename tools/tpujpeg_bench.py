@@ -30,9 +30,35 @@ SIZE = 512
 N_IMAGES = 8
 
 
+def _clean_photo(h: int, w: int, seed: int):
+    """Noise-free synthetic photo: gradients, edges, and smooth texture.
+    The sensor-noise-free analog of bench._photo — AQ/trellis BD-rates on
+    noisy content are inflated (the deadzone deletes exactly the noise
+    SSIMULACRA2 barely scores), so this corpus is the representative one."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w].astype(np.float64)
+    base = 120 + 60 * np.sin(x / 17.0 + rng.uniform(0, 6)) + 45 * np.cos(
+        y / 11.0 + rng.uniform(0, 6)
+    )
+    # hard edges (architectural content)
+    for _ in range(6):
+        cx, cy = rng.uniform(0, w), rng.uniform(0, h)
+        ang = rng.uniform(0, np.pi)
+        side = (x - cx) * np.cos(ang) + (y - cy) * np.sin(ang) > 0
+        base = base + side * rng.uniform(-40, 40)
+    # smooth deterministic texture
+    base = base + 12 * np.sin(x * y / 900.0)
+    img = np.stack([base, base * 0.9 + 10, base * 0.78 + 22], -1)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("--aq-scan", action="store_true")
+    parser.add_argument("--trellis-scan", action="store_true")
+    parser.add_argument("--clean", action="store_true",
+                        help="use the noise-free corpus (representative "
+                        "for AQ/trellis numbers)")
     parser.add_argument("--subsampling", default="420", choices=["420", "444"])
     parser.add_argument("--colorspace", default="ycbcr", choices=["ycbcr", "xyb"])
     args = parser.parse_args()
@@ -49,7 +75,8 @@ def main() -> None:
     from codec_eval_tpu.kernels.ssimulacra2 import ssimulacra2_batch
     from codec_eval_tpu.stats.summary import bd_rate
 
-    refs = [_photo(SIZE, SIZE, 40 + i) for i in range(N_IMAGES)]
+    gen = _clean_photo if args.clean else _photo
+    refs = [gen(SIZE, SIZE, 40 + i) for i in range(N_IMAGES)]
     if args.colorspace == "xyb":
         args.subsampling = "444"
     pil_sub = 2 if args.subsampling == "420" else 0
@@ -91,6 +118,21 @@ def main() -> None:
             if d is not None:
                 deltas.append(d)
         return float(np.mean(deltas))
+
+    if args.trellis_scan:
+        # 2026-08-18 --clean results (s2 BD-rate): 0.05 -19.0, 0.10 -24.1,
+        # 0.20 -27.8, 0.30 -27.0, 0.40 -24.6; butteraugli peaks at 0.05-0.10
+        # and degrades fast above 0.20 (+4.3% at 0.40) — lambda=0.10 default.
+        # Activity-modulated lambda (lambda*(1+2*act)) measured strictly
+        # worse at every lambda and was removed.
+        for lam in (0.05, 0.10, 0.20, 0.30):
+            codec = TpuJpegCodec(
+                subsampling=args.subsampling, colorspace=args.colorspace,
+                trellis=True, trellis_lambda=lam,
+            )
+            print(f"lambda={lam:4.2f}: BD-rate vs PIL = "
+                  f"{mean_bd(codec):+6.2f}%", flush=True)
+        return
 
     if args.aq_scan:
         for s in (0.0, 0.15, 0.22, 0.30, 0.38, 0.45):
