@@ -677,10 +677,20 @@ def trellis_quantize_blocks(
     Returns int16 zigzag blocks, same shape.
     """
     q = np.asarray(qtable_natural, dtype=np.float32)[ZIGZAG]
+    lam = np.asarray(lmbda, dtype=np.float32)
+    if lam.ndim == 0:
+        # Hot path: the C++ DP (native/jpeg_trellis.cpp) mirrors the numpy
+        # implementation below operation-for-operation; tests pin equality.
+        from ..utils.native import trellis_quantize_native
+
+        native_out = trellis_quantize_native(
+            dct_zz, q, ac_lengths, float(lam)
+        )
+        if native_out is not None:
+            return native_out
     lead = dct_zz.shape[:-1]
     F = dct_zz.reshape(-1, 64).astype(np.float32)
     B = F.shape[0]
-    lam = np.asarray(lmbda, dtype=np.float32)
     lam_b = np.full(B, float(lam), np.float32) if lam.ndim == 0 else lam.reshape(B)
     x = np.abs(F) / q  # (B, 64)
     sign = np.sign(F)

@@ -79,6 +79,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_size_t,
                 ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint32),
             ]
+            if hasattr(lib, "ce_trellis_quantize"):
+                lib.ce_trellis_quantize.restype = ctypes.c_int64
+                lib.ce_trellis_quantize.argtypes = [
+                    ctypes.c_void_p, ctypes.c_size_t, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_float, ctypes.c_void_p,
+                ]
             for sym in ("ce_jpeg_encode_baseline2", "ce_jpeg_encode_progressive"):
                 if hasattr(lib, sym):
                     fn = getattr(lib, sym)
@@ -265,3 +271,30 @@ def read_ppm(path) -> np.ndarray:
         assert maxval == 255
         data = np.frombuffer(f.read(w_ * h_ * 3), dtype=np.uint8)
         return data.reshape(h_, w_, 3).copy()
+
+
+def trellis_quantize_native(
+    dct_zz: np.ndarray,
+    q_zz: np.ndarray,
+    ac_lengths: np.ndarray,
+    lmbda: float,
+) -> "Optional[np.ndarray]":
+    """C++ trellis DP (native/jpeg_trellis.cpp), an exact mirror of
+    kernels/jpeg_enc.trellis_quantize_blocks' numpy path.  Returns None
+    when the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ce_trellis_quantize"):
+        return None
+    lead = dct_zz.shape[:-1]
+    flat = np.ascontiguousarray(dct_zz.reshape(-1, 64), dtype=np.float32)
+    q = np.ascontiguousarray(q_zz, dtype=np.float32)
+    lengths = np.ascontiguousarray(ac_lengths, dtype=np.float32)
+    assert q.shape == (64,) and lengths.shape == (16, 11)
+    out = np.empty_like(flat, dtype=np.int16)
+    rc = lib.ce_trellis_quantize(
+        flat.ctypes.data, flat.shape[0], q.ctypes.data,
+        lengths.ctypes.data, ctypes.c_float(float(lmbda)), out.ctypes.data,
+    )
+    if rc != 0:  # pragma: no cover - no failing path today
+        return None
+    return out.reshape(*lead, 64)

@@ -621,3 +621,25 @@ def test_trellis_session_takes_host_path(tmp_path):
     assert session.device_sweeps_run == 0
     assert len(report.results) == 2
     assert all(r.metrics.ssimulacra2 is not None for r in report.results)
+
+
+def test_trellis_native_matches_numpy_reference():
+    """The C++ DP (native/jpeg_trellis.cpp) must reproduce the numpy
+    implementation coefficient-for-coefficient; the numpy path is forced
+    via a per-block lambda array (scalar lambda dispatches to native)."""
+    from codec_eval_tpu.utils.native import trellis_quantize_native
+
+    rng = np.random.default_rng(17)
+    dct = rng.normal(0, 28, (12, 9, 64)).astype(np.float32)
+    dct[..., 0] = rng.normal(0, 150, (12, 9))
+    q = np.clip(np.linspace(2, 70, 64), 1, 255)
+    lengths = je.ac_code_lengths([je.quantize_blocks(dct, q, 0.5)])
+    native = trellis_quantize_native(
+        dct, q.astype(np.float32)[je.ZIGZAG], lengths, 0.10
+    )
+    if native is None:
+        pytest.skip("native library not built")
+    ref = je.trellis_quantize_blocks(
+        dct, q, lengths, np.full((12 * 9,), 0.10, np.float32)
+    )
+    assert np.array_equal(native, ref.reshape(12, 9, 64))
