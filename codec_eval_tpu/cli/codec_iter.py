@@ -51,6 +51,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="tpujpeg only: encode in the XYB opsin colorspace",
     )
     p.add_argument(
+        "--trellis", action="store_true",
+        help="tpujpeg only: RD-optimal trellis quantization "
+        "(baseline scans; overrides --no-progressive)",
+    )
+    p.add_argument(
         "--device-sweep",
         action="store_true",
         help="tpujpeg only: run the whole ladder (encode+decode+SSIM2) on "
@@ -108,6 +113,7 @@ def cmd_eval(args) -> int:
             progressive=not args.no_progressive,
             preset=args.avif_preset,
             xyb=args.xyb,
+            trellis=args.trellis,
         )
         print(
             f"eval: {codec.summary} on {len(images)} images x "
@@ -186,6 +192,7 @@ def cmd_baseline(args) -> int:
             progressive=not args.no_progressive,
             preset=args.avif_preset,
             xyb=args.xyb,
+            trellis=args.trellis,
         )
         result = run_eval(images, codec, qualities)
         saved = save_baseline(

@@ -195,7 +195,10 @@ def build_codec(
         return WebpIterConfig(method=webp_method).build()
     if fmt == "tpujpeg":
         return TpuJpegIterConfig(
-            subsampling=subsampling, xyb=xyb, progressive=progressive,
+            subsampling=subsampling, xyb=xyb,
+            # trellis is baseline-only (its rate model is the sequential
+            # (run, size) alphabet); it overrides the progressive default.
+            progressive=progressive and not trellis,
             trellis=trellis,
         ).build()
     raise UnsupportedFormat(f"unknown format '{fmt}' (jpeg|avif|webp|tpujpeg)")
