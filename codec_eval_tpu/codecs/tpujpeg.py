@@ -45,7 +45,11 @@ The trellis lambda sweep is two-sided: larger lambda keeps improving
 SSIMULACRA2 (-27.8% at 0.20) while degrading Butteraugli (-16.5% at 0.20,
 +4.3% at 0.40) — it starts deleting texture SSIMULACRA2 underweights.
 lambda=0.10 is the calibrated default (both metrics within ~2pt of their
-optima).  On noisy content every deadzone-family number is inflated (the
+optima).  In XYB mode (same protocol, vs PIL 4:4:4 optimized) trellis
+compounds with the colorspace: xyb plain -27.7% s2 / -46.0% ba, xyb-aq
+-41.6%/-58.8%, xyb-trellis -45.2%/-59.3% at the same lambda=0.10 — the
+flattened XYB tables leave many near-zero AC coefficients the DP prices
+out.  On noisy content every deadzone-family number is inflated (the
 zeroing deletes exactly the sensor noise perceptual metrics barely
 score); clean-corpus figures are the representative ones.
 aq_strength=0.30 stays the AQ default from the same scan protocol.
@@ -293,4 +297,5 @@ class TpuJpegCodec(CodecImpl):
             cls(colorspace="xyb", adaptive=True),
             cls(subsampling="420", adaptive=True, progressive=True),
             cls(subsampling="420", trellis=True),
+            cls(colorspace="xyb", trellis=True),
         ]
