@@ -104,7 +104,7 @@ def cmd_eval(args) -> int:
         )
         result = run_eval_device(
             images, qualities, subsampling=args.subsampling,
-            progress=lambda s: print(f"  {s}"),
+            progress=lambda s: print(f"  {s}"), trellis=args.trellis,
         )
     else:
         codec = build_codec(

@@ -162,6 +162,7 @@ def sweep_corpus_device(
     subsampling: str = "420",
     limit: int = 0,
     progress=print,
+    trellis: bool = False,
 ) -> Dict[int, List[Tuple[float, float, float]]]:
     """Device-resident calibration sweep: the entire encode/decode/score
     inner loop of the reference's rd_calibrate hot path
@@ -196,6 +197,8 @@ def sweep_corpus_device(
             [float(q) for q in qualities],
             subsampling=subsampling,
             metrics=("ssimulacra2", "butteraugli"),
+            aq_strength=0.0 if trellis else 0.30,
+            trellis_lambda=0.10 if trellis else 0.0,
         )
         s2 = res.scores["ssimulacra2"]
         ba = res.scores["butteraugli"]
@@ -228,6 +231,12 @@ def main(argv=None) -> int:
         help="tpujpeg only: run the whole calibration sweep (encode, "
         "decode, score) on the device mesh",
     )
+    parser.add_argument(
+        "--trellis",
+        action="store_true",
+        help="tpujpeg only: trellis quantization (device DP under "
+        "--device-sweep)",
+    )
     args = parser.parse_args(argv)
 
     try:
@@ -239,7 +248,10 @@ def main(argv=None) -> int:
         codec = (
             None
             if args.device_sweep
-            else build_codec(args.format, subsampling=args.subsampling)
+            else build_codec(
+                args.format, subsampling=args.subsampling,
+                trellis=args.trellis,
+            )
         )
         corpus = Corpus.discover(args.corpus)
     except CodecEvalError as e:
@@ -247,7 +259,8 @@ def main(argv=None) -> int:
         return 1
 
     summary = (
-        f"tpujpeg-{args.subsampling}-aq-device"
+        f"tpujpeg-{args.subsampling}-"
+        f"{'trellis' if args.trellis else 'aq'}-device"
         if args.device_sweep
         else codec.summary
     )
@@ -256,7 +269,8 @@ def main(argv=None) -> int:
     t0 = time.perf_counter()
     if args.device_sweep:
         by_quality = sweep_corpus_device(
-            corpus, qualities, subsampling=args.subsampling, limit=args.limit
+            corpus, qualities, subsampling=args.subsampling,
+            limit=args.limit, trellis=args.trellis,
         )
     else:
         by_quality = sweep_corpus(corpus, codec, qualities, limit=args.limit)

@@ -199,12 +199,6 @@ class TpuJpegCodec(CodecImpl):
         w, h = rgb.shape[1], rgb.shape[0]
         return [self._encode_from_transform(tr, w, h, float(q)) for q in qualities]
 
-    def supports_device_sweep(self) -> bool:
-        """The device ladder reproduces this codec's exact quantization;
-        trellis decisions are a host DP the device path does not implement,
-        so trellis codecs take the host encode path."""
-        return not self.trellis
-
     def device_sweep(
         self,
         image: ImageData,
@@ -214,12 +208,8 @@ class TpuJpegCodec(CodecImpl):
     ):
         """Whole-ladder device evaluation (engine/tpu_sweep.py) with this
         codec's exact settings — the capability hook EvalSession uses to
-        fuse encode/decode/score on device for tpujpeg codecs."""
-        if self.trellis:
-            raise CodecError(
-                self.id(), "device_sweep does not implement trellis; use the "
-                "host encode path"
-            )
+        fuse encode/decode/score on device for tpujpeg codecs.  Trellis
+        runs as a device DP (kernels/jpeg_enc.trellis_quantize_dev)."""
         from ..engine.tpu_sweep import evaluate_tpujpeg_sweep
 
         return evaluate_tpujpeg_sweep(
@@ -231,6 +221,7 @@ class TpuJpegCodec(CodecImpl):
             colorspace=self.colorspace,
             progressive=self.progressive,
             return_bytes=with_bytes,
+            trellis_lambda=self.trellis_lambda if self.trellis else 0.0,
         )
 
     # -- internals ----------------------------------------------------------
@@ -262,18 +253,20 @@ class TpuJpegCodec(CodecImpl):
     ) -> bytes:
         ql, qc = self._qtables(quality)
         if self.trellis:
-            # Rate model: optimized-Huffman lengths fitted to this image's
-            # own round-to-nearest statistics at this quality — the same
-            # model the two-pass entropy coder will realize.
-            qy0 = _je.quantize_blocks(tr["dct_y"], ql, 0.5)
-            qcb0 = _je.quantize_blocks(tr["dct_cb"], qc, 0.5)
-            qcr0 = _je.quantize_blocks(tr["dct_cr"], qc, 0.5)
-            len_y = _je.ac_code_lengths([qy0])
-            len_c = _je.ac_code_lengths([qcb0, qcr0])
+            # Rate model: the static corpus-fitted tables shared with the
+            # device DP (DEFAULT_AC_LENGTHS_*) — per-image Huffman fitting
+            # measured worth 0.01 BD-rate points (tools/fit_rate_tables.py),
+            # and one model keeps host and device decisions aligned.
             lam = self.trellis_lambda
-            qy = _je.trellis_quantize_blocks(tr["dct_y"], ql, len_y, lam)
-            qcb = _je.trellis_quantize_blocks(tr["dct_cb"], qc, len_c, lam)
-            qcr = _je.trellis_quantize_blocks(tr["dct_cr"], qc, len_c, lam)
+            qy = _je.trellis_quantize_blocks(
+                tr["dct_y"], ql, _je.DEFAULT_AC_LENGTHS_LUMA, lam
+            )
+            qcb = _je.trellis_quantize_blocks(
+                tr["dct_cb"], qc, _je.DEFAULT_AC_LENGTHS_CHROMA, lam
+            )
+            qcr = _je.trellis_quantize_blocks(
+                tr["dct_cr"], qc, _je.DEFAULT_AC_LENGTHS_CHROMA, lam
+            )
         else:
             qy = _je.quantize_blocks(tr["dct_y"], ql, self._bias(tr["act_y"]))
             qcb = _je.quantize_blocks(tr["dct_cb"], qc, self._bias(tr["act_c"]))

@@ -70,13 +70,16 @@ def evaluate_tpujpeg_sweep(
     colorspace: str = "ycbcr",
     progressive: bool = False,
     return_bytes: bool = False,
+    trellis_lambda: float = 0.0,
 ) -> List[TpuSweepPoint]:
     """Score a full tpujpeg quality ladder for one image on device.
 
     with_sizes=False skips the host entropy pass entirely (scores only —
     useful when hunting a quality threshold rather than an R-D curve).
     return_bytes=True additionally keeps each quality's .jpg bytes
-    (implies the entropy pass).
+    (implies the entropy pass).  trellis_lambda > 0 runs the trellis DP
+    on device (kernels/jpeg_enc.trellis_quantize_dev) in place of the AQ
+    rounding bias.
     """
     if return_bytes:
         with_sizes = True
@@ -96,6 +99,7 @@ def evaluate_tpujpeg_sweep(
     recon = _je.build_reconstruct_sweep(
         h, w, n_q, subsampling, colorspace,
         planar_candidates=True, with_coefs=with_sizes,
+        trellis_lambda=float(trellis_lambda),
     )
     pre_fn = _build_precompute(
         h, w, want["dssim"], want["ssimulacra2"], want["butteraugli"], False

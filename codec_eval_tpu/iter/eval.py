@@ -166,6 +166,7 @@ def run_eval_device(
     subsampling: str = "420",
     adaptive: bool = True,
     progress: Optional[Callable[[str], None]] = None,
+    trellis: bool = False,
 ) -> EvalResult:
     """tpujpeg device-resident eval: the whole ladder (encode transform,
     decode reconstruction, SSIM2 scoring) runs on device per image
@@ -175,8 +176,9 @@ def run_eval_device(
     """
     from ..engine.tpu_sweep import evaluate_tpujpeg_sweep
 
-    aq = 0.30 if adaptive else 0.0
-    summary = f"tpujpeg-{subsampling}-{'aq' if adaptive else 'plain'}-device"
+    aq = 0.0 if trellis else (0.30 if adaptive else 0.0)
+    mode = "trellis" if trellis else ("aq" if adaptive else "plain")
+    summary = f"tpujpeg-{subsampling}-{mode}-device"
     t_start = time.perf_counter()
     points: List[EvalPoint] = []
     for i, src in enumerate(images):
@@ -187,6 +189,7 @@ def run_eval_device(
             subsampling=subsampling,
             aq_strength=aq,
             metrics=("ssimulacra2",),
+            trellis_lambda=0.10 if trellis else 0.0,
         )
         ladder_ms = int((time.perf_counter() - t0) * 1000)
         for p in pts:

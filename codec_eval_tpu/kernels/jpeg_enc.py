@@ -46,6 +46,7 @@ __all__ = [
     "quantize_blocks",
     "quality_to_qtables",
     "trellis_quantize_blocks",
+    "trellis_quantize_dev",
 ]
 
 #: Natural-order index of each coefficient in zigzag scan order
@@ -121,6 +122,60 @@ XYB_CHROMA_BASE = np.clip(XYB_LUMA_BASE * 1.6, 1.0, 255.0).astype(np.float64)
 #: padded.  B is stored decorrelated (B-Y), matching jpegli's layout.
 XYB_ENC_RANGES = np.array(
     [[0.0, 0.846], [-0.016, 0.029], [-0.29, 0.40]], dtype=np.float32
+)
+
+#: Default (16, 11) AC (run, size) bit-length models for the trellis rate
+#: term: optimized-Huffman fits to pooled round-to-nearest statistics
+#: (4 clean 512px images x q in {50, 70, 85, 95}; regenerate with
+#: tools/fit_rate_tables.py).  The trellis is insensitive to the fit:
+#: per-image fitted tables measured 0.01 BD-rate points better than these
+#: in YCbCr (-24.09% vs -24.08%) and 0.07 in XYB (-45.17% vs -45.10%),
+#: so one static table set serves both colorspaces — which is what lets
+#: the device-resident ladder run the DP with no host round trip.
+#: Unseen symbols carry the 16-bit default; entries >16 are unlimited-
+#: depth Huffman estimates (a rate model, not emitted code lengths).
+DEFAULT_AC_LENGTHS_LUMA = np.array(
+    [
+        [3, 2, 3, 3, 4, 4, 5, 6, 12, 16, 16],
+        [16, 4, 5, 7, 8, 10, 12, 14, 16, 16, 16],
+        [16, 5, 7, 8, 11, 15, 19, 16, 16, 16, 16],
+        [16, 6, 9, 11, 15, 16, 16, 16, 16, 16, 16],
+        [16, 7, 10, 14, 16, 16, 16, 16, 16, 16, 16],
+        [16, 7, 12, 15, 15, 16, 16, 16, 16, 16, 16],
+        [16, 7, 13, 14, 19, 16, 16, 16, 16, 16, 16],
+        [16, 10, 14, 15, 19, 16, 16, 16, 16, 16, 16],
+        [16, 10, 15, 19, 16, 16, 16, 16, 16, 16, 16],
+        [16, 8, 13, 18, 16, 16, 16, 16, 16, 16, 16],
+        [16, 9, 14, 17, 18, 16, 16, 16, 16, 16, 16],
+        [16, 11, 14, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 12, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 12, 14, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 13, 17, 16, 16, 16, 16, 16, 16, 16, 16],
+        [13, 15, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+    ],
+    dtype=np.float32,
+)
+
+DEFAULT_AC_LENGTHS_CHROMA = np.array(
+    [
+        [2, 2, 2, 4, 9, 16, 16, 16, 16, 16, 16],
+        [16, 3, 6, 8, 14, 16, 16, 16, 16, 16, 16],
+        [16, 6, 9, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 7, 13, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 7, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 8, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 9, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 10, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 11, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 13, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 14, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 15, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+        [16, 16, 16, 16, 16, 16, 16, 16, 16, 16, 16],
+    ],
+    dtype=np.float32,
 )
 
 
@@ -442,6 +497,7 @@ def build_reconstruct_sweep(
     colorspace: str = "ycbcr",
     planar_candidates: bool = False,
     with_coefs: bool = True,
+    trellis_lambda: float = 0.0,
 ):
     """Jitted device-side decode of a whole quality ladder.
 
@@ -498,9 +554,25 @@ def build_reconstruct_sweep(
         def one_quality(q2):
             ql_zz = q2[0][zz]
             qc_zz = q2[1][zz]
-            cy = quantize_dev(planes["dct_y"], ql_zz, bias_y)
-            ccb = quantize_dev(planes["dct_cb"], qc_zz, bias_c)
-            ccr = quantize_dev(planes["dct_cr"], qc_zz, bias_c)
+            if trellis_lambda > 0.0:
+                # Device trellis DP with the static rate tables; replaces
+                # the AQ bias exactly as the host path does.
+                cy = trellis_quantize_dev(
+                    planes["dct_y"], ql_zz, DEFAULT_AC_LENGTHS_LUMA,
+                    trellis_lambda,
+                )
+                ccb = trellis_quantize_dev(
+                    planes["dct_cb"], qc_zz, DEFAULT_AC_LENGTHS_CHROMA,
+                    trellis_lambda,
+                )
+                ccr = trellis_quantize_dev(
+                    planes["dct_cr"], qc_zz, DEFAULT_AC_LENGTHS_CHROMA,
+                    trellis_lambda,
+                )
+            else:
+                cy = quantize_dev(planes["dct_y"], ql_zz, bias_y)
+                ccb = quantize_dev(planes["dct_cb"], qc_zz, bias_c)
+                ccr = quantize_dev(planes["dct_cr"], qc_zz, bias_c)
             y = reconstruct_plane(cy, ql_zz)
             cb = reconstruct_plane(ccb, qc_zz)
             cr = reconstruct_plane(ccr, qc_zz)
@@ -757,4 +829,125 @@ def trellis_quantize_blocks(
         if np.any(on):
             out[on, k] = (sign[on, k] * vals[on, k]).astype(np.int16)
             cur[on] = prev[on, k]
+    return out.reshape(*lead, 64)
+
+
+def trellis_quantize_dev(
+    dct_zz: jnp.ndarray,
+    q_zz: jnp.ndarray,
+    ac_lengths: np.ndarray,
+    lmbda: float,
+) -> jnp.ndarray:
+    """Device (jittable/vmappable) trellis DP, same objective as
+    ``trellis_quantize_blocks`` — used by the device-resident ladder.
+
+    TPU-shaped reformulation of the DP step: the (run, size) bit lookup is
+    a one-hot (B, 11) x (11, 63) matmul against a run-table followed by a
+    flip+roll realignment (gathers and scatters are the expensive lowering
+    on TPU); state updates are iota-mask selects.  The rate model is a
+    STATIC table — the fitted-vs-fixed experiment measured the per-image
+    Huffman fit worth 0.01 BD-rate points, so a corpus-level table loses
+    nothing and keeps the whole ladder on device.  Returns f32 signed
+    quantized values (the reconstruct path consumes f32; cast at output),
+    matching the ``quantize_dev`` contract.
+    """
+    lengths = np.asarray(ac_lengths, dtype=np.float32)
+    # RT[r, s] = ZRL-chain bits + symbol bits + appended magnitude bits
+    # for a zero-run r before a size-s coefficient.
+    r = np.arange(63)
+    RT = (
+        (r // 16).astype(np.float32)[:, None] * lengths[15, 0]
+        + lengths[r % 16]  # (63, 11)
+        + np.arange(11, dtype=np.float32)[None, :]
+    )
+    RTj = jnp.asarray(RT.T)  # (11, 63)
+    l_eob = float(lengths[0, 0])
+    lam = jnp.float32(lmbda)
+
+    lead = dct_zz.shape[:-1]
+    F = dct_zz.reshape(-1, 64)
+    B = F.shape[0]
+    x = jnp.abs(F) / q_zz
+    sgn = jnp.sign(F)
+    c0 = jnp.minimum(jnp.floor(x + 0.5), 1023.0)
+    c1 = jnp.maximum(c0 - 1.0, 0.0)
+
+    def size_of(c):
+        return jnp.where(
+            c > 0.0,
+            jnp.floor(jnp.log2(jnp.maximum(c, 1.0))).astype(jnp.int32) + 1,
+            0,
+        )
+
+    sizes = jnp.stack([size_of(c0), size_of(c1)])  # (2, B, 64) int32
+    cands = jnp.stack([c0, c1])  # (2, B, 64)
+
+    P = jnp.concatenate(
+        [jnp.zeros((B, 1), jnp.float32), jnp.cumsum(x[:, 1:] ** 2, axis=1)],
+        axis=1,
+    )  # (B, 64): P[:, j] = sum_{1<=i<=j} x_i^2
+
+    INF = jnp.float32(np.inf)
+    iota = jnp.arange(64)
+    best0 = jnp.broadcast_to(jnp.where(iota == 0, 0.0, INF), (B, 64))
+    prev0 = jnp.zeros((B, 64), jnp.int32)
+    vals0 = jnp.zeros((B, 64), jnp.float32)
+
+    def step(carry, k):
+        best, prev, vals = carry
+        x_k = jax.lax.dynamic_index_in_dim(x, k, axis=1, keepdims=False)
+        p_km1 = jax.lax.dynamic_index_in_dim(P, k - 1, axis=1, keepdims=False)
+
+        def cand_cost(ci):
+            c = jax.lax.dynamic_index_in_dim(cands[ci], k, 1, keepdims=False)
+            s = jax.lax.dynamic_index_in_dim(sizes[ci], k, 1, keepdims=False)
+            onehot = jax.nn.one_hot(s, 11, dtype=jnp.float32)  # (B, 11)
+            m = onehot @ RTj  # (B, 63): bits for run r at column r
+            mp = jnp.pad(m, ((0, 0), (0, 1)))  # (B, 64)
+            # bits[:, j] = mp[:, k-1-j (mod 64)]; wrapped columns (j >= k)
+            # are masked by best[j] = +inf.
+            bits = jnp.roll(jnp.flip(mp, axis=1), k, axis=1)
+            d = (x_k - c) ** 2
+            cost = best + (p_km1[:, None] - P) + lam * bits + d[:, None]
+            return jnp.where(c[:, None] > 0.0, cost, INF), c
+
+        cost_a, ca = cand_cost(0)
+        cost_b, cb = cand_cost(1)
+        both = jnp.concatenate([cost_a, cost_b], axis=1)  # (B, 128)
+        flat = jnp.argmin(both, axis=1)
+        best_k = jnp.take_along_axis(both, flat[:, None], axis=1)[:, 0]
+        prev_k = (flat % 64).astype(jnp.int32)
+        val_k = jnp.where(flat < 64, ca, cb)
+
+        on = (iota[None, :] == k)
+        best = jnp.where(on, best_k[:, None], best)
+        prev = jnp.where(on, prev_k[:, None], prev)
+        vals = jnp.where(on, val_k[:, None], vals)
+        return (best, prev, vals), None
+
+    (best, prev, vals), _ = jax.lax.scan(
+        step, (best0, prev0, vals0), jnp.arange(1, 64)
+    )
+
+    totals = best + (P[:, 63:64] - P) + lam * l_eob * (iota < 63)[None, :]
+    cur0 = jnp.argmin(totals, axis=1).astype(jnp.int32)
+
+    def back(cur, k):
+        on = cur == k
+        col = jnp.where(
+            on,
+            jax.lax.dynamic_index_in_dim(sgn, k, 1, keepdims=False)
+            * jax.lax.dynamic_index_in_dim(vals, k, 1, keepdims=False),
+            0.0,
+        )
+        nxt = jnp.where(
+            on, jax.lax.dynamic_index_in_dim(prev, k, 1, keepdims=False), cur
+        )
+        return nxt, col
+
+    _, cols = jax.lax.scan(back, cur0, jnp.arange(63, 0, -1))
+    # cols[i] is column k = 63 - i; assemble (B, 64) with DC at 0.
+    ac = jnp.flip(cols, axis=0).T  # (B, 63) columns 1..63
+    dc = sgn[:, 0] * jnp.minimum(jnp.floor(x[:, 0] + 0.5), 2047.0)
+    out = jnp.concatenate([dc[:, None], ac], axis=1)
     return out.reshape(*lead, 64)

@@ -57,6 +57,7 @@ def sweep_corpus_ladders(
     metrics: Sequence[str] = ("dssim", "ssimulacra2", "butteraugli", "psnr"),
     with_sizes: bool = True,
     images_per_chunk: int = 8,
+    trellis_lambda: float = 0.0,
 ) -> CorpusLadders:
     """Evaluate tpujpeg quality ladders for a same-size image corpus.
 
@@ -90,6 +91,7 @@ def sweep_corpus_ladders(
     recon = _je.build_reconstruct_sweep(
         h, w, n_q, subsampling,
         planar_candidates=True, with_coefs=with_sizes,
+        trellis_lambda=float(trellis_lambda),
     )
     pre_fn = _build_precompute(
         h, w, want["dssim"], want["ssimulacra2"], want["butteraugli"], False

@@ -587,24 +587,41 @@ def test_trellis_bitstream_decodes_and_beats_plain_size():
         assert rms_tre < rms_plain * 1.25, (rms_tre, rms_plain)
 
 
-def test_trellis_rejects_progressive_and_gates_device_sweep():
+def test_trellis_rejects_progressive():
     from codec_eval_tpu.errors import CodecError
 
     with pytest.raises(CodecError):
         TpuJpegCodec(trellis=True, progressive=True)
     codec = TpuJpegCodec(trellis=True)
-    assert codec.supports_device_sweep() is False
     assert codec.adaptive is False  # trellis replaces the AQ bias
     assert codec.id() == "tpujpeg-420-trellis"
-    with pytest.raises(CodecError):
-        codec.device_sweep(
-            ImageData.rgb8(_photo(64, 64)), [75.0], ["psnr"]
+
+
+def test_trellis_device_dp_matches_host_dp():
+    """The device DP (trellis_quantize_dev) and the host DP must make the
+    same coefficient decisions under the shared static rate tables."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    dct = rng.normal(0, 22, (14, 11, 64)).astype(np.float32)
+    dct[..., 0] = rng.normal(0, 140, (14, 11))
+    q = np.clip(np.linspace(2, 55, 64), 1, 255)
+    host = je.trellis_quantize_blocks(
+        dct, q, je.DEFAULT_AC_LENGTHS_LUMA, 0.10
+    )
+    qzz = q.astype(np.float32)[je.ZIGZAG]
+    dev = jax.jit(
+        lambda d: je.trellis_quantize_dev(
+            d, jnp.asarray(qzz), je.DEFAULT_AC_LENGTHS_LUMA, 0.10
         )
+    )(jnp.asarray(dct))
+    assert np.array_equal(np.asarray(dev).astype(np.int16), host)
 
 
-def test_trellis_session_takes_host_path(tmp_path):
-    """A trellis codec in a session must not use the device ladder
-    (its quantization differs), and still produce a full report."""
+def test_trellis_session_takes_device_path(tmp_path):
+    """A trellis codec in a session rides the device ladder (the DP runs
+    on device) and its report matches the host encode bytes' sizes."""
     from codec_eval_tpu.engine.session import EvalConfig, EvalSession
     from codec_eval_tpu.metrics import MetricConfig
 
@@ -616,11 +633,40 @@ def test_trellis_session_takes_host_path(tmp_path):
         .build()
     )
     session = EvalSession(config)
-    session.add_codec_impl(TpuJpegCodec(trellis=True, adaptive=False))
+    codec = TpuJpegCodec(trellis=True)
+    session.add_codec_impl(codec)
     report = session.evaluate_image("t", ImageData.rgb8(_photo(96, 96)))
-    assert session.device_sweeps_run == 0
+    assert session.device_sweeps_run == 1
     assert len(report.results) == 2
     assert all(r.metrics.ssimulacra2 is not None for r in report.results)
+    # The ladder's reported sizes are real entropy-coded byte counts of
+    # the device-DP coefficients; the host path makes the same decisions,
+    # so the sizes must agree exactly.
+    img = ImageData.rgb8(_photo(96, 96))
+    for r in report.results:
+        host_bytes = codec.encode(img, EncodeRequest(r.quality))
+        assert r.file_size == len(host_bytes), (r.quality, r.file_size)
+
+
+def test_trellis_device_ladder_scores_track_byte_path():
+    """Device-resident trellis ladder scores must track the conventional
+    encode->libjpeg-decode->score path."""
+    import jax.numpy as jnp
+
+    from codec_eval_tpu.engine.tpu_sweep import evaluate_tpujpeg_sweep
+    from codec_eval_tpu.kernels.ssimulacra2 import ssimulacra2
+
+    img = _photo(128, 128)
+    pts = evaluate_tpujpeg_sweep(
+        img, [50.0, 85.0], trellis_lambda=0.10, aq_strength=0.0
+    )
+    codec = TpuJpegCodec(trellis=True)
+    for p in pts:
+        data = codec.encode(ImageData.rgb8(img), EncodeRequest(p.quality))
+        assert p.file_size == len(data)
+        dec = codec.decode(data).to_rgb8()
+        s2 = float(ssimulacra2(jnp.asarray(img), jnp.asarray(dec)))
+        assert abs(p.metrics["ssimulacra2"] - s2) < 1.0, (p.quality, s2)
 
 
 def test_trellis_native_matches_numpy_reference():
