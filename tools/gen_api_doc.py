@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import importlib
 import inspect
+import re
 import sys
 from pathlib import Path
 
@@ -45,9 +46,12 @@ OUT_PATH = REPO / "docs" / "public-api" / "codec_eval_tpu.txt"
 
 def _signature(obj) -> str:
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # default values whose repr embeds a memory address (functions, object
+    # instances) would make the snapshot differ run-to-run
+    return re.sub(r"<([^<>]*) at 0x[0-9a-f]+>", r"<\1>", sig)
 
 
 def describe_module(name: str) -> list[str]:
