@@ -72,6 +72,43 @@ def load_image(corpus: Path, name: str) -> SourceImage:
     return SourceImage(name=name, rgb=np.ascontiguousarray(rgb))
 
 
+#: Version tag of the procedural corpus below.  Committed baselines under
+#: ``baselines/`` record this tag in ``corpus_path``; bump it whenever the
+#: generator changes so stale baselines fail loudly instead of drifting.
+SYNTHETIC_CORPUS_VERSION = "synthetic-v1"
+
+
+def synthetic_sources(n: int = 3, size: int = 256) -> List[SourceImage]:
+    """Deterministic photo-like test images, generated in memory.
+
+    The reference ships committed quality/size baselines computed on a real
+    corpus (baselines/*.json, crates/codec-iter/src/baseline.rs:11-43); this
+    environment cannot commit corpus images, so the committed baselines here
+    are computed on this procedural corpus instead.  Determinism contract:
+    ``default_rng`` streams are stable across numpy versions (NEP 19), so
+    the same (n, size, version) always regenerates bit-identical pixels.
+    """
+    out: List[SourceImage] = []
+    for i in range(n):
+        rng = np.random.default_rng(9000 + i)
+        y, x = np.mgrid[0:size, 0:size]
+        base = (
+            115.0
+            + 70.0 * np.sin(x / (11.0 + 3.0 * i))
+            + 55.0 * np.cos(y / (8.0 + 2.0 * i))
+            + 25.0 * np.sin((x + y) / (29.0 + 5.0 * i))
+        )
+        img = np.stack(
+            [base, base * 0.87 + 14.0, base * 0.72 + 28.0], axis=-1
+        )
+        img += rng.normal(0.0, 6.5, img.shape)
+        rgb = np.clip(img, 0.0, 255.0).astype(np.uint8)
+        out.append(
+            SourceImage(name=f"{SYNTHETIC_CORPUS_VERSION}-{i:03d}", rgb=rgb)
+        )
+    return out
+
+
 def load_sources(corpus: Path, limit: int) -> List[SourceImage]:
     """Tier selection by limit (<=3 TINY, <=5 SMALL, <=15 MEDIUM, else all).
     reference: crates/codec-iter/src/source.rs:47-60."""
