@@ -192,11 +192,15 @@ def run_sweep_scenario(jax, jnp) -> dict:
     # (dequant+iDCT+upsample) and all-metric scoring all on device — no
     # candidate pixels cross the host boundary (engine/tpu_sweep.py).  The
     # reference has no analog: its loop round-trips every candidate through
-    # host RAM (crates/codec-iter/src/eval.rs:151-167).  "scores_only"
-    # excludes the host entropy pass; "with_sizes" includes exact .jpg
-    # byte sizes via the native Huffman coder on this box's single CPU.
+    # host RAM (crates/codec-iter/src/eval.rs:151-167).  Three size modes:
+    # "scores_only" skips rate work entirely; "device_sizes" reduces each
+    # ladder to packed symbol histograms on device (kernels/jpeg_rate.py —
+    # entropy-exact byte sizes, stuffing estimated, one small fetch per
+    # image, stacked and fetched once); "with_sizes" fetches coefficient
+    # planes and entropy-codes exact .jpg bytes on this box's single CPU.
     def tpu_e2e_rates():
         from codec_eval_tpu.kernels import jpeg_enc as _je2
+        from codec_eval_tpu.kernels import jpeg_rate as _jr
         from codec_eval_tpu.engine.scoring import (
             _build_chunk_scorer as _bcs,
         )
@@ -216,6 +220,7 @@ def run_sweep_scenario(jax, jnp) -> dict:
             )
             for wc in (False, True)
         }
+        stats_fn = _jr.build_ladder_rate_stats("420")
 
         # Every run consumes FRESH reference images: the remote runtime
         # memoizes identical (executable, input) executions, so reusing a
@@ -225,25 +230,33 @@ def run_sweep_scenario(jax, jnp) -> dict:
             jax.block_until_ready(
                 jnp.asarray(_photo(SWEEP_SIZE, SWEEP_SIZE, 7000 + i))
             )
-            for i in range(1 + 2 * 2 * n_img)
+            for i in range(1 + 3 * 2 * n_img)
         ]
         it = iter(fresh)
 
-        def ladder(ref_dev, with_sizes):
-            cands, coefs = recons[with_sizes](ref_dev, qtabs, 0.30)
-            return scorer_p(pre_all(ref_dev), cands), coefs
+        def ladder(ref_dev, mode):
+            cands, coefs = recons[mode != "scores"](ref_dev, qtabs, 0.30)
+            scores = scorer_p(pre_all(ref_dev), cands)
+            if mode == "device":
+                coefs = stats_fn(coefs["y"], coefs["cb"], coefs["cr"])
+            return scores, coefs
 
-        out, _c = ladder(next(it), True)  # warm both compiles
+        out, _c = ladder(next(it), "exact")  # warm all three compiles
         _ = [np.asarray(v) for v in out.values()]
-        _ = ladder(fresh[0], False)
+        _ = ladder(fresh[0], "scores")
+        _s, _st = ladder(fresh[0], "device")
+        _ = np.asarray(_st)
 
-        def run(with_sizes):
+        def run(mode):
             t0 = time.perf_counter()
             outs = []
+            stats = []
             for _i in range(n_img):
-                scores, coefs = ladder(next(it), with_sizes)
+                scores, coefs = ladder(next(it), mode)
                 outs.append(scores)
-                if with_sizes:
+                if mode == "device":
+                    stats.append(coefs)  # device arrays; fetched at the end
+                elif mode == "exact":
                     cy = np.asarray(coefs["y"])
                     ccb = np.asarray(coefs["cb"])
                     ccr = np.asarray(coefs["cr"])
@@ -254,15 +267,22 @@ def run_sweep_scenario(jax, jnp) -> dict:
                             cy[qi], ccb[qi], ccr[qi],
                             tl[_je2.ZIGZAG], tc[_je2.ZIGZAG],
                         )
+            if mode == "device":
+                packed = np.asarray(jnp.stack(stats))  # ONE fetch
+                for im in packed:
+                    _jr.size_estimates_from_packed(im)
             _ = np.asarray(next(iter(outs[-1].values()))[0])
             return n_img * n_q / (time.perf_counter() - t0)
 
         return (
-            max(run(False) for _ in range(2)),
-            max(run(True) for _ in range(2)),
+            max(run("scores") for _ in range(2)),
+            max(run("device") for _ in range(2)),
+            max(run("exact") for _ in range(2)),
         )
 
-    tpu_e2e_scores_pps, tpu_e2e_sizes_pps = tpu_e2e_rates()
+    tpu_e2e_scores_pps, tpu_e2e_device_sizes_pps, tpu_e2e_sizes_pps = (
+        tpu_e2e_rates()
+    )
 
     # End-to-end: host encode/decode overlapped with device scoring via a
     # producer pool + async dispatch (SURVEY.md §7 hard part #2).
@@ -316,6 +336,9 @@ def run_sweep_scenario(jax, jnp) -> dict:
         # production v5e host.
         "e2e_overlapped_pairs_per_sec": round(e2e_pps, 1),
         "tpu_e2e_ladder_pairs_per_sec": round(tpu_e2e_sizes_pps, 1),
+        "tpu_e2e_ladder_device_sizes_pairs_per_sec": round(
+            tpu_e2e_device_sizes_pps, 1
+        ),
         "tpu_e2e_ladder_scores_only_pairs_per_sec": round(tpu_e2e_scores_pps, 1),
         "host_cpu_count": __import__("os").cpu_count(),
         "cid22_dense_sweep_v5e8_seconds_allmetric": round(cid22_v5e8_s, 2),

@@ -61,6 +61,15 @@ def _add_common(p: argparse.ArgumentParser) -> None:
         help="tpujpeg only: run the whole ladder (encode+decode+SSIM2) on "
         "device; host only entropy-codes for exact sizes",
     )
+    p.add_argument(
+        "--size-mode",
+        choices=("exact", "device"),
+        default="exact",
+        help="--device-sweep byte sizes: 'exact' entropy-codes on host; "
+        "'device' computes them from on-device rate statistics "
+        "(entropy-exact, 0xFF stuffing estimated ~0.15%%, no coefficient "
+        "fetch)",
+    )
 
 
 def _print_eval(points, baseline) -> None:
@@ -105,6 +114,7 @@ def cmd_eval(args) -> int:
         result = run_eval_device(
             images, qualities, subsampling=args.subsampling,
             progress=lambda s: print(f"  {s}"), trellis=args.trellis,
+            size_mode=args.size_mode,
         )
     else:
         codec = build_codec(

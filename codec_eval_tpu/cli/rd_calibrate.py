@@ -163,6 +163,7 @@ def sweep_corpus_device(
     limit: int = 0,
     progress=print,
     trellis: bool = False,
+    size_mode: str = "exact",
 ) -> Dict[int, List[Tuple[float, float, float]]]:
     """Device-resident calibration sweep: the entire encode/decode/score
     inner loop of the reference's rd_calibrate hot path
@@ -199,6 +200,7 @@ def sweep_corpus_device(
             metrics=("ssimulacra2", "butteraugli"),
             aq_strength=0.0 if trellis else 0.30,
             trellis_lambda=0.10 if trellis else 0.0,
+            with_sizes="device" if size_mode == "device" else True,
         )
         s2 = res.scores["ssimulacra2"]
         ba = res.scores["butteraugli"]
@@ -237,6 +239,14 @@ def main(argv=None) -> int:
         help="tpujpeg only: trellis quantization (device DP under "
         "--device-sweep)",
     )
+    parser.add_argument(
+        "--size-mode",
+        choices=("exact", "device"),
+        default="exact",
+        help="--device-sweep byte sizes: 'exact' entropy-codes on host; "
+        "'device' computes them from on-device rate statistics "
+        "(entropy-exact, stuffing estimated ~0.15%%)",
+    )
     args = parser.parse_args(argv)
 
     try:
@@ -271,6 +281,7 @@ def main(argv=None) -> int:
         by_quality = sweep_corpus_device(
             corpus, qualities, subsampling=args.subsampling,
             limit=args.limit, trellis=args.trellis,
+            size_mode=args.size_mode,
         )
     else:
         by_quality = sweep_corpus(corpus, codec, qualities, limit=args.limit)

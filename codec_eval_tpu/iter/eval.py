@@ -167,15 +167,21 @@ def run_eval_device(
     adaptive: bool = True,
     progress: Optional[Callable[[str], None]] = None,
     trellis: bool = False,
+    size_mode: str = "exact",
 ) -> EvalResult:
     """tpujpeg device-resident eval: the whole ladder (encode transform,
     decode reconstruction, SSIM2 scoring) runs on device per image
-    (engine/tpu_sweep.py); the host only entropy-codes the coefficients
-    for exact sizes.  No analog in the reference — its loop round-trips
-    every candidate through host RAM (crates/codec-iter/src/eval.rs:151).
+    (engine/tpu_sweep.py).  size_mode="exact" entropy-codes fetched
+    coefficients on host for exact byte sizes; "device" keeps even the
+    rate work on device (kernels/jpeg_rate.py — entropy-exact, stuffing
+    estimated to ~±0.15%), fetching only packed symbol histograms.  No
+    analog in the reference — its loop round-trips every candidate through
+    host RAM (crates/codec-iter/src/eval.rs:151).
     """
     from ..engine.tpu_sweep import evaluate_tpujpeg_sweep
 
+    if size_mode not in ("exact", "device"):
+        raise ValueError(f"size_mode must be 'exact' or 'device', got {size_mode!r}")
     aq = 0.0 if trellis else (0.30 if adaptive else 0.0)
     mode = "trellis" if trellis else ("aq" if adaptive else "plain")
     summary = f"tpujpeg-{subsampling}-{mode}-device"
@@ -190,6 +196,7 @@ def run_eval_device(
             aq_strength=aq,
             metrics=("ssimulacra2",),
             trellis_lambda=0.10 if trellis else 0.0,
+            with_sizes="device" if size_mode == "device" else True,
         )
         ladder_ms = int((time.perf_counter() - t0) * 1000)
         for p in pts:

@@ -55,7 +55,7 @@ def sweep_corpus_ladders(
     subsampling: str = "420",
     aq_strength: float = 0.30,
     metrics: Sequence[str] = ("dssim", "ssimulacra2", "butteraugli", "psnr"),
-    with_sizes: bool = True,
+    with_sizes: "bool | str" = True,
     images_per_chunk: int = 8,
     trellis_lambda: float = 0.0,
 ) -> CorpusLadders:
@@ -65,6 +65,13 @@ def sweep_corpus_ladders(
     repeating the last image up to a batch-axis multiple; padding rows are
     dropped from the result), so coefficient memory stays bounded while the
     device pipeline stays busy.
+
+    with_sizes="device" computes byte sizes from device-side rate
+    statistics (kernels/jpeg_rate.py): each device reduces its ladders to
+    (2x16 + 2x256) symbol counts per quality inside the SPMD step, so no
+    coefficient planes cross the host boundary at all — entropy-exact
+    sizes, 0xFF stuffing estimated (~±0.15%).  True entropy-codes fetched
+    coefficients on host for exact bytes.
     """
     import jax
     import jax.numpy as jnp
@@ -74,7 +81,13 @@ def sweep_corpus_ladders(
     from ..engine.scoring import _build_chunk_scorer, _build_precompute
     from ..engine.tpu_sweep import _qtabs_for
     from ..kernels import jpeg_enc as _je
+    from ..kernels import jpeg_rate as _jr
     from ..utils import native as _native
+
+    size_mode = {True: "exact", False: "none"}.get(with_sizes, with_sizes)
+    if size_mode not in ("exact", "none", "device"):
+        raise ValueError(f"with_sizes must be bool or 'device', got {with_sizes!r}")
+    with_sizes = size_mode != "none"
 
     if mesh is None:
         mesh = make_mesh(n_space=1)
@@ -93,6 +106,18 @@ def sweep_corpus_ladders(
         planar_candidates=True, with_coefs=with_sizes,
         trellis_lambda=float(trellis_lambda),
     )
+    if size_mode == "device":
+        _rs = _jr.build_rate_stats(subsampling)
+
+        def rate_stats(cy, ccb, ccr):
+            st = _rs(cy, ccb, ccr)
+            return jnp.concatenate(
+                [st["dc_y"], st["dc_c"], st["ac_y"], st["ac_c"]], axis=-1
+            )
+
+        rate_stats = jax.vmap(rate_stats)
+    else:
+        rate_stats = None
     pre_fn = _build_precompute(
         h, w, want["dssim"], want["ssimulacra2"], want["butteraugli"], False
     )
@@ -117,6 +142,10 @@ def sweep_corpus_ladders(
             img = imgs_local[i]
             cands, coefs = recon(img, qtabs, aq)
             score_rows.append(scorer(pre_fn(img), cands))
+            if rate_stats is not None:
+                # Reduce ladders to packed symbol histograms on device;
+                # the coefficient planes never leave the shard.
+                coefs = rate_stats(coefs["y"], coefs["cb"], coefs["cr"])
             coef_rows.append(coefs)
         scores = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs), *score_rows
@@ -151,7 +180,11 @@ def sweep_corpus_ladders(
         host_scores = {k: np.asarray(v) for k, v in scores.items()}
         for k, v in host_scores.items():
             all_scores.setdefault(k, []).append(v[:real])
-        if with_sizes:
+        if size_mode == "device":
+            st = np.asarray(coefs)  # (chunk_n, n_q, 544) in one fetch
+            for ii in range(real):
+                sizes[start + ii] = _jr.size_estimates_from_packed(st[ii])
+        elif with_sizes:
             cy = np.asarray(coefs["y"])
             ccb = np.asarray(coefs["cb"])
             ccr = np.asarray(coefs["cr"])

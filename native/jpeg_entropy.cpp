@@ -23,6 +23,7 @@ struct BitWriter {
     uint32_t bitbuf;   // pending bits, MSB-aligned within the low `nbits`
     int nbits;
     bool overflow;
+    size_t stuffed;    // 0x00 bytes inserted after 0xFF in entropy data
 
     void put_byte(uint8_t b) {
         if (pos >= cap) { overflow = true; return; }
@@ -36,7 +37,7 @@ struct BitWriter {
         while (nbits >= 8) {
             uint8_t b = uint8_t((bitbuf >> (nbits - 8)) & 0xFF);
             put_byte(b);
-            if (b == 0xFF) put_byte(0x00);
+            if (b == 0xFF) { put_byte(0x00); ++stuffed; }
             nbits -= 8;
         }
     }
@@ -46,7 +47,7 @@ struct BitWriter {
             uint8_t b = uint8_t(
                 ((bitbuf << (8 - nbits)) | ((1u << (8 - nbits)) - 1u)) & 0xFF);
             put_byte(b);
-            if (b == 0xFF) put_byte(0x00);
+            if (b == 0xFF) { put_byte(0x00); ++stuffed; }
             nbits = 0;
         }
         bitbuf = 0;
@@ -281,7 +282,7 @@ int64_t ce_jpeg_encode_baseline2(
         build_optimal_table(ac_freq + i * 256, &ac_tabs[i]);
     }
 
-    BitWriter bw{out, out_cap, 0, 0, 0, false};
+    BitWriter bw{out, out_cap, 0, 0, 0, false, 0};
 
     put_marker(&bw, 0xD8);  // SOI
     if (app_mode == 1) {
@@ -522,7 +523,7 @@ int64_t ce_jpeg_encode_progressive(
     for (int i = 0; i < 3; ++i)
         build_optimal_table(ac_freq + i * 256, &ac_tabs[i]);
 
-    BitWriter bw{out, out_cap, 0, 0, 0, false};
+    BitWriter bw{out, out_cap, 0, 0, 0, false, 0};
     put_marker(&bw, 0xD8);
     if (app_mode == 1) {
         put_marker(&bw, 0xEE);
@@ -594,6 +595,50 @@ int64_t ce_jpeg_encode_progressive(
     put_marker(&bw, 0xD9);
     if (bw.overflow) return -1;
     return int64_t(bw.pos);
+}
+
+// Exact baseline-scan statistics: the test oracle for the device-side rate
+// accounting (kernels/jpeg_rate.py).  Writes the two-pass symbol histograms
+// (dc_freq/ac_freq, each 2 table classes x 256 bins), the entropy-coded
+// scan byte count (flush-padded, EXCLUDING headers/EOI), and the number of
+// 0x00 bytes stuffed after 0xFF — the one term histograms cannot predict.
+// Uses a scratch buffer internally; returns 0 on success, -1 on bad args.
+int64_t ce_jpeg_scan_stats(
+    int subsampling,
+    const int16_t* y_coeffs, const int16_t* cb_coeffs, const int16_t* cr_coeffs,
+    uint32_t by_y, uint32_t bx_y, uint32_t by_c, uint32_t bx_c,
+    uint32_t* dc_freq_out /*2*256*/, uint32_t* ac_freq_out /*2*256*/,
+    uint8_t* scratch, size_t scratch_cap,
+    int64_t* scan_bytes_out, int64_t* stuffed_out) {
+    if (!y_coeffs || !cb_coeffs || !cr_coeffs || !dc_freq_out || !ac_freq_out ||
+        !scratch || !scan_bytes_out || !stuffed_out)
+        return -1;
+    int sh = (subsampling == 1 || subsampling == 2) ? 2 : 1;
+    int sv = (subsampling == 1 || subsampling == 3) ? 2 : 1;
+    if (by_y != by_c * sv || bx_y != bx_c * sh) return -1;
+
+    Component comps[3] = {
+        {y_coeffs, by_y, bx_y, sh, sv, 0, 0, 0},
+        {cb_coeffs, by_c, bx_c, 1, 1, 1, 1, 0},
+        {cr_coeffs, by_c, bx_c, 1, 1, 1, 1, 0},
+    };
+    std::memset(dc_freq_out, 0, 2 * 256 * sizeof(uint32_t));
+    std::memset(ac_freq_out, 0, 2 * 256 * sizeof(uint32_t));
+    scan_pass(comps, 3, by_c, bx_c, dc_freq_out, ac_freq_out, nullptr,
+              nullptr, nullptr);
+
+    HuffTable dc_tabs[2], ac_tabs[2];
+    for (int i = 0; i < 2; ++i) {
+        build_optimal_table(dc_freq_out + i * 256, &dc_tabs[i]);
+        build_optimal_table(ac_freq_out + i * 256, &ac_tabs[i]);
+    }
+    BitWriter bw{scratch, scratch_cap, 0, 0, 0, false, 0};
+    scan_pass(comps, 3, by_c, bx_c, nullptr, nullptr, dc_tabs, ac_tabs, &bw);
+    bw.flush();
+    if (bw.overflow) return -1;
+    *scan_bytes_out = int64_t(bw.pos);
+    *stuffed_out = int64_t(bw.stuffed);
+    return 0;
 }
 
 // Original entry point (JFIF container).

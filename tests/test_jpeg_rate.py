@@ -1,0 +1,120 @@
+"""Device-side rate accounting (kernels/jpeg_rate.py) vs the C++ entropy
+coder's own statistics export (native ce_jpeg_scan_stats).
+
+The contract under test: from device-computed symbol histograms alone, the
+host reproduces the coder's optimized Huffman tables bit-for-bit and
+therefore the exact entropy-coded bit count; the only estimated term is
+0xFF byte stuffing.  reference context: the reference's eval loop gets
+sizes for free from host codecs (crates/codec-iter/src/eval.rs:151-167);
+this is what keeps the device-resident ladder honest without fetching
+coefficient planes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from codec_eval_tpu.iter.source import synthetic_sources
+from codec_eval_tpu.kernels import jpeg_enc as je
+from codec_eval_tpu.kernels import jpeg_rate as jr
+from codec_eval_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not native.is_native_available(), reason="native library not built"
+)
+
+IMG = synthetic_sources(1, 128)[0].rgb
+
+
+def _quantized(sub: str, q: int):
+    planes = je.jpeg_transform(IMG, sub)
+    ql, qc = je.quality_to_qtables(q, je.ANNEX_K_LUMA, je.ANNEX_K_CHROMA)
+    return (
+        je.quantize_blocks(planes["dct_y"], ql, 0.5),
+        je.quantize_blocks(planes["dct_cb"], qc, 0.5),
+        je.quantize_blocks(planes["dct_cr"], qc, 0.5),
+        ql,
+        qc,
+    )
+
+
+@pytest.mark.parametrize("sub", ["420", "444", "422", "440"])
+@pytest.mark.parametrize("q", [50, 90])
+def test_device_histograms_match_cpp_oracle(sub, q):
+    import jax
+    import jax.numpy as jnp
+
+    cy, ccb, ccr, _, _ = _quantized(sub, q)
+    oracle = native.jpeg_scan_stats(sub, cy, ccb, ccr)
+    stats = jax.jit(jr.build_rate_stats(sub))(
+        jnp.asarray(cy), jnp.asarray(ccb), jnp.asarray(ccr)
+    )
+    st = {k: np.asarray(v).astype(np.int64) for k, v in stats.items()}
+    np.testing.assert_array_equal(st["dc_y"], oracle["dc_freq"][0][:16])
+    np.testing.assert_array_equal(st["dc_c"], oracle["dc_freq"][1][:16])
+    np.testing.assert_array_equal(st["ac_y"], oracle["ac_freq"][0])
+    np.testing.assert_array_equal(st["ac_c"], oracle["ac_freq"][1])
+
+
+@pytest.mark.parametrize("sub", ["420", "444"])
+@pytest.mark.parametrize("q", [50, 75, 95])
+def test_entropy_bits_exact_and_file_size_identity(sub, q):
+    """Everything except stuffing is bit-exact: the host-rebuilt tables give
+    exactly the coder's scan bytes, and header accounting closes the full
+    file length to the byte once the oracle's true stuffing count is used."""
+    cy, ccb, ccr, ql, qc = _quantized(sub, q)
+    oracle = native.jpeg_scan_stats(sub, cy, ccb, ccr)
+    dc_y = oracle["dc_freq"][0][:16]
+    dc_c = oracle["dc_freq"][1][:16]
+    ac_y, ac_c = oracle["ac_freq"]
+    bits, nsyms = jr.scan_bits_from_hists(dc_y, dc_c, ac_y, ac_c)
+    assert (bits + 7) // 8 == oracle["scan_bytes"] - oracle["stuffed"]
+
+    data = native.jpeg_encode_baseline(
+        IMG.shape[1], IMG.shape[0], sub, cy, ccb, ccr,
+        ql[je.ZIGZAG].astype(np.uint16), qc[je.ZIGZAG].astype(np.uint16),
+    )
+    est = jr.baseline_size_estimate(dc_y, dc_c, ac_y, ac_c)
+    scan_bytes = (bits + 7) // 8
+    exact = est - int(round(scan_bytes / 368.0)) + oracle["stuffed"]
+    assert exact == len(data)
+    # and the stuffing estimate keeps the standalone estimate tight
+    assert abs(est - len(data)) <= max(4, 0.004 * len(data))
+
+
+def test_sweep_device_sizes_match_exact_sizes():
+    from codec_eval_tpu.engine.tpu_sweep import evaluate_tpujpeg_sweep
+
+    exact = evaluate_tpujpeg_sweep(
+        IMG, [60, 85], metrics=("psnr",), with_sizes=True
+    )
+    dev = evaluate_tpujpeg_sweep(
+        IMG, [60, 85], metrics=("psnr",), with_sizes="device"
+    )
+    for e, d in zip(exact, dev):
+        assert abs(d.file_size - e.file_size) <= max(6, 0.004 * e.file_size)
+        assert d.bits_per_pixel == pytest.approx(
+            e.bits_per_pixel, rel=0.005
+        )
+        assert d.metrics["psnr"] == pytest.approx(e.metrics["psnr"])
+
+
+def test_sweep_device_sizes_rejects_progressive():
+    from codec_eval_tpu.engine.tpu_sweep import evaluate_tpujpeg_sweep
+
+    with pytest.raises(ValueError, match="progressive"):
+        evaluate_tpujpeg_sweep(
+            IMG, [75], metrics=("psnr",), with_sizes="device", progressive=True
+        )
+
+
+def test_t81_code_sizes_degenerate_histograms():
+    # single-symbol histogram: the reserved symbol keeps it decodable
+    freq = np.zeros(256, dtype=np.int64)
+    freq[0] = 100
+    sizes, n = jr.t81_code_sizes(freq)
+    assert n == 1 and sizes[0] == 1
+    # empty histogram: no symbols, zero bits
+    sizes, n = jr.t81_code_sizes(np.zeros(256, dtype=np.int64))
+    assert n == 0 and sizes.sum() == 0

@@ -58,6 +58,28 @@ def test_sharded_ladders_scores_only():
         res.mean_curve("ssimulacra2")
 
 
+def test_sharded_ladders_device_sizes():
+    """with_sizes='device': no coefficient planes leave the device; sizes
+    come from on-shard rate statistics and track the exact host entropy
+    coder within the documented stuffing-estimate tolerance."""
+    from codec_eval_tpu.parallel.ladder_runner import sweep_corpus_ladders
+
+    images = [_photo(i) for i in range(3)]
+    qualities = [50.0, 85.0]
+    exact = sweep_corpus_ladders(
+        images, qualities, with_sizes=True, metrics=("psnr",)
+    )
+    dev = sweep_corpus_ladders(
+        images, qualities, with_sizes="device", metrics=("psnr",)
+    )
+    np.testing.assert_allclose(
+        dev.scores["psnr"], exact.scores["psnr"], rtol=1e-6
+    )
+    assert (np.abs(dev.sizes - exact.sizes)
+            <= np.maximum(6, 0.004 * exact.sizes)).all()
+    assert (dev.sizes[:, 1] > dev.sizes[:, 0]).all()
+
+
 def test_sharded_ladders_rejects_mixed_sizes():
     from codec_eval_tpu.parallel.ladder_runner import sweep_corpus_ladders
 
