@@ -77,25 +77,21 @@ def evaluate_tpujpeg_sweep(
     with_sizes=False skips the host entropy pass entirely (scores only —
     useful when hunting a quality threshold rather than an R-D curve).
     with_sizes="device" computes file sizes from device-side rate
-    statistics (kernels/jpeg_rate.py): only (2x16 + 2x256) symbol counts
-    per quality leave the device instead of the full coefficient planes —
-    entropy-exact, 0xFF stuffing estimated (~±0.15% of size), baseline
-    (non-progressive) scans only.  with_sizes=True entropy-codes on host
-    for exact bytes.  return_bytes=True additionally keeps each quality's
-    .jpg bytes (implies the host entropy pass).  trellis_lambda > 0 runs
-    the trellis DP on device (kernels/jpeg_enc.trellis_quantize_dev) in
-    place of the AQ rounding bias.
+    statistics (kernels/jpeg_rate.py): only packed symbol counts per
+    quality leave the device instead of the full coefficient planes —
+    entropy-exact, 0xFF stuffing estimated (~±0.15% of size), for both
+    baseline and progressive scan scripts.  with_sizes=True entropy-codes
+    on host for exact bytes.  return_bytes=True additionally keeps each
+    quality's .jpg bytes (implies the host entropy pass).
+    trellis_lambda > 0 runs the trellis DP on device
+    (kernels/jpeg_enc.trellis_quantize_dev) in place of the AQ rounding
+    bias.
     """
     size_mode = {True: "exact", False: "none"}.get(with_sizes, with_sizes)
     if size_mode not in ("exact", "none", "device"):
         raise ValueError(f"with_sizes must be bool or 'device', got {with_sizes!r}")
     if return_bytes:
         size_mode = "exact"
-    if size_mode == "device" and progressive:
-        raise ValueError(
-            "with_sizes='device' covers baseline scans only; use "
-            "with_sizes=True for progressive"
-        )
     with_sizes = size_mode != "none"
     import jax.numpy as jnp
 
@@ -134,11 +130,19 @@ def evaluate_tpujpeg_sweep(
     if size_mode == "device":
         from ..kernels import jpeg_rate as _jr
 
-        stats_fn = _jr.build_ladder_rate_stats(subsampling)
-        st = stats_fn(coefs["y"], coefs["cb"], coefs["cr"])
-        sizes = _jr.size_estimates_from_packed(
-            st, app_mode=1 if colorspace == "xyb" else 0
-        )
+        app_mode = 1 if colorspace == "xyb" else 0
+        if progressive:
+            stats_fn = _jr.build_progressive_ladder_rate_stats(
+                h, w, subsampling
+            )
+            st = stats_fn(coefs["y"], coefs["cb"], coefs["cr"])
+            sizes = _jr.progressive_size_estimates_from_packed(
+                st, app_mode=app_mode
+            )
+        else:
+            stats_fn = _jr.build_ladder_rate_stats(subsampling)
+            st = stats_fn(coefs["y"], coefs["cb"], coefs["cr"])
+            sizes = _jr.size_estimates_from_packed(st, app_mode=app_mode)
     elif with_sizes:
         # Entropy-code on host for exact bytes; the coefficient fetch and
         # the Huffman pass overlap device scoring via the thread pool.

@@ -149,9 +149,93 @@ def build_rate_stats(subsampling: str = "420"):
     return stats
 
 
+def _ac_band_stats(coefs_zz, ny: int, nx: int, ss: int, se: int):
+    """256-bin symbol histogram for one non-interleaved progressive AC
+    scan (T.81 G.1.2.2): band [ss, se] over the true (ny, nx) block
+    subgrid, with in-band run-size symbols, ZRL, and EOBRUN symbols
+    (n<<4 for a run of 2^n..2^(n+1)-1 end-of-band blocks, 0x7FFF cap).
+
+    EOB runs span blocks: a coded block whose band ends in zeros joins the
+    following all-zero-band blocks into one run, flushed by the next coded
+    block or scan end.  Run lengths come from an exclusive cumsum of
+    per-block contributions differenced at flush points via a cummax of
+    the cumsum masked to coded blocks — no gathers.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    q = jnp.abs(coefs_zz[:ny, :nx].reshape(-1, 64).astype(jnp.int32))
+    nblocks = q.shape[0]
+    band = q[:, ss : se + 1]                      # (B, L)
+    nz = band > 0
+    has_nz = jnp.any(nz, axis=1)                  # (B,) coded blocks
+
+    # In-band (run, size) symbols — same machinery as the baseline scan,
+    # with the run base at ss-1.
+    pos = jnp.arange(ss, se + 1, dtype=jnp.int32)
+    marked = jnp.where(nz, pos[None, :], ss - 1)
+    prev_inc = jax.lax.cummax(marked, axis=1)
+    prev = jnp.concatenate(
+        [jnp.full((nblocks, 1), ss - 1, jnp.int32), prev_inc[:, :-1]], axis=1
+    )
+    run = pos[None, :] - prev - 1
+    zrl = jnp.sum(jnp.where(nz, run >> 4, 0).astype(jnp.float32))
+    sz = _category(band)
+    hi = jnp.where(nz, run & 15, 0)
+    lo = jnp.where(nz, sz, 0)
+    nib = jnp.arange(16, dtype=jnp.int32)
+    oh_hi = ((hi[..., None] == nib) & nz[..., None]).astype(jnp.bfloat16)
+    oh_lo = (lo[..., None] == nib).astype(jnp.bfloat16)
+    h = jax.lax.dot_general(
+        oh_hi.reshape(-1, 16),
+        oh_lo.reshape(-1, 16),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    hist = h.reshape(256)
+    bins = jnp.arange(256)
+    hist = hist + (bins == 0xF0) * zrl
+
+    # EOB runs.  contribution c[b]: 1 for an all-zero band, 1 for a coded
+    # block whose band ends in zeros (its trailing EOB joins the run).
+    ends_zero = band[:, -1] == 0
+    c = jnp.where(has_nz, ends_zero, True).astype(jnp.int32)
+    cum = jnp.cumsum(c)
+    excl = jnp.concatenate([jnp.zeros(1, jnp.int32), cum[:-1]])  # E[b]
+    neg = jnp.int32(-(1 << 30))
+    f = jnp.where(has_nz, excl, neg)
+    fmax = jax.lax.cummax(f)
+    prev_e = jnp.concatenate([jnp.full(1, neg, jnp.int32), fmax[:-1]])
+    runs = jnp.where(has_nz, excl - jnp.maximum(prev_e, 0), 0)
+    any_coded = jnp.any(has_nz)
+    end_run = cum[-1] - jnp.where(any_coded, jnp.maximum(fmax[-1], 0), 0)
+    runs = jnp.concatenate([runs, end_run[None]])
+
+    # EOBRUN(32767) symbols from the 0x7FFF cap, then log2 buckets for the
+    # remainders (exact threshold compares; rem < 32768 -> n <= 14).
+    n_full = jnp.sum((runs // 32767).astype(jnp.float32))
+    rem = runs % 32767
+    nbits = jnp.zeros(rem.shape, jnp.int32)
+    for j in range(1, 15):
+        nbits = nbits + (rem >= (1 << j)).astype(jnp.int32)
+    kbins = jnp.arange(15, dtype=jnp.int32)
+    counts = jnp.sum(
+        ((nbits[:, None] == kbins) & (rem > 0)[:, None]).astype(jnp.float32),
+        axis=0,
+    )
+    eob_syms = jnp.zeros(256).at[kbins << 4].add(counts)
+    eob_syms = eob_syms + (bins == 0xE0) * n_full
+    return hist + eob_syms
+
+
 #: Layout of one quality's packed rate statistics:
 #: [dc_y (16) | dc_c (16) | ac_y (256) | ac_c (256)] = 544 f32 counts.
 PACKED_STATS_WIDTH = 544
+
+#: Progressive layout: [dc_y 16 | dc_c 16 | ac_y_low 256 | ac_cb 256 |
+#: ac_cr 256 | ac_y_high 256] = 1056 (Cb and Cr are separate scans that
+#: share a table, so their histograms stay separate for per-scan bits).
+PACKED_STATS_WIDTH_PROGRESSIVE = 1056
 
 
 @functools.lru_cache(maxsize=16)
@@ -184,6 +268,119 @@ def size_estimates_from_packed(
     return [
         baseline_size_estimate(
             row[:16], row[16:32], row[32:288], row[288:544], app_mode=app_mode
+        )
+        for row in packed
+    ]
+
+
+@functools.lru_cache(maxsize=16)
+def build_progressive_ladder_rate_stats(
+    height: int, width: int, subsampling: str = "420"
+):
+    """Progressive analog of build_ladder_rate_stats: fn(cy, ccb, ccr with
+    a leading quality axis) -> (n_q, 1056) f32 packed histograms.  The
+    non-interleaved AC scans cover ceil(dim/8) blocks of the TRUE image
+    dims (the padded MCU grid rows/cols beyond them are sliced off), which
+    is why the builder is keyed on (height, width)."""
+    import jax
+    import jax.numpy as jnp
+
+    if subsampling not in ("420", "444", "422", "440"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    sh = 2 if subsampling in ("420", "422") else 1
+    sv = 2 if subsampling in ("420", "440") else 1
+    ny_y = (height + 7) // 8
+    nx_y = (width + 7) // 8
+    ny_c = ((height + 1) // 2 + 7) // 8 if sv == 2 else ny_y
+    nx_c = ((width + 1) // 2 + 7) // 8 if sh == 2 else nx_y
+
+    def packed(cy, ccb, ccr):
+        return jnp.concatenate(
+            [
+                _dc_hist(cy[:, :, 0], sv, sh),
+                _dc_hist(ccb[:, :, 0], 1, 1) + _dc_hist(ccr[:, :, 0], 1, 1),
+                _ac_band_stats(cy, ny_y, nx_y, 1, 5),
+                _ac_band_stats(ccb, ny_c, nx_c, 1, 63),
+                _ac_band_stats(ccr, ny_c, nx_c, 1, 63),
+                _ac_band_stats(cy, ny_y, nx_y, 6, 63),
+            ],
+            axis=-1,
+        )
+
+    return jax.jit(jax.vmap(packed))
+
+
+def _progressive_ac_extra_bits() -> np.ndarray:
+    """Appended bits per progressive AC symbol: size for (run, size>0),
+    0 for ZRL, n for EOBRUN symbols (n<<4)."""
+    sym = np.arange(256, dtype=np.int64)
+    lo = sym & 15
+    hi = sym >> 4
+    return np.where(lo > 0, lo, np.where(sym == 0xF0, 0, hi))
+
+
+def progressive_size_estimate(
+    dc_y: np.ndarray,
+    dc_c: np.ndarray,
+    ac_y_low: np.ndarray,
+    ac_cb: np.ndarray,
+    ac_cr: np.ndarray,
+    ac_y_high: np.ndarray,
+    app_mode: int = 0,
+) -> int:
+    """Estimated .jpg size for the SOF2 spectral-selection scan script
+    (ce_jpeg_encode_progressive): interleaved DC; Y 1-5; Cb 1-63; Cr 1-63;
+    Y 6-63.  Tables: 2 DC + 3 AC (Y low / chroma shared by Cb+Cr / Y
+    high); every scan is flush-padded separately.  Exact except stuffing
+    (calibrated scan/368)."""
+    dc_extra = np.arange(16, dtype=np.int64)
+    ac_extra = _progressive_ac_extra_bits()
+
+    def dfreq(h16):
+        out = np.zeros(256, dtype=np.int64)
+        out[:16] = np.asarray(np.rint(h16), dtype=np.int64)
+        return out
+
+    f_dc_y, f_dc_c = dfreq(dc_y), dfreq(dc_c)
+    f_low = np.asarray(np.rint(ac_y_low), dtype=np.int64)
+    f_cb = np.asarray(np.rint(ac_cb), dtype=np.int64)
+    f_cr = np.asarray(np.rint(ac_cr), dtype=np.int64)
+    f_high = np.asarray(np.rint(ac_y_high), dtype=np.int64)
+
+    s_dc0, n_dc0 = t81_code_sizes(f_dc_y)
+    s_dc1, n_dc1 = t81_code_sizes(f_dc_c)
+    s_ac0, n_ac0 = t81_code_sizes(f_low)
+    s_ac1, n_ac1 = t81_code_sizes(f_cb + f_cr)
+    s_ac2, n_ac2 = t81_code_sizes(f_high)
+
+    scan_bits = [
+        int((f_dc_y[:16] * (s_dc0[:16] + dc_extra)).sum())
+        + int((f_dc_c[:16] * (s_dc1[:16] + dc_extra)).sum()),
+        int((f_low * (s_ac0 + ac_extra)).sum()),
+        int((f_cb * (s_ac1 + ac_extra)).sum()),
+        int((f_cr * (s_ac1 + ac_extra)).sum()),
+        int((f_high * (s_ac2 + ac_extra)).sum()),
+    ]
+    scan_bytes = sum((b + 7) // 8 for b in scan_bits)
+    nsyms = n_dc0 + n_dc1 + n_ac0 + n_ac1 + n_ac2
+    app = 16 if app_mode == 1 else 18
+    # SOI, APP, 2xDQT, SOF2 (19), 5 DHT, SOS 3-comp (14) + 4x SOS 1-comp
+    # (10 each), EOI.
+    header = 2 + app + 2 * 69 + 19 + (5 * 21 + nsyms) + 14 + 4 * 10 + 2
+    stuffed = int(round(scan_bytes / 368.0))
+    return header + scan_bytes + stuffed
+
+
+def progressive_size_estimates_from_packed(
+    packed: np.ndarray, app_mode: int = 0
+) -> list:
+    """Byte-size estimates for a ladder's packed (n_q, 1056) progressive
+    statistics."""
+    packed = np.asarray(packed)
+    return [
+        progressive_size_estimate(
+            row[:16], row[16:32], row[32:288], row[288:544],
+            row[544:800], row[800:1056], app_mode=app_mode,
         )
         for row in packed
     ]

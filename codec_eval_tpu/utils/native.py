@@ -108,6 +108,17 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.c_void_p, ctypes.c_size_t,
                     ctypes.c_void_p, ctypes.c_void_p,
                 ]
+            if hasattr(lib, "ce_jpeg_scan_stats_progressive"):
+                lib.ce_jpeg_scan_stats_progressive.restype = ctypes.c_int64
+                lib.ce_jpeg_scan_stats_progressive.argtypes = [
+                    ctypes.c_uint16, ctypes.c_uint16, ctypes.c_int,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_uint32, ctypes.c_uint32,
+                    ctypes.c_uint32, ctypes.c_uint32,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                ]
             _lib = lib
             return lib
         except OSError:
@@ -294,6 +305,50 @@ def jpeg_scan_stats(
     )
     if rc != 0:
         raise RuntimeError("jpeg scan stats failed (buffer/args)")
+    return {
+        "dc_freq": dc_freq,
+        "ac_freq": ac_freq,
+        "scan_bytes": int(scan_bytes.value),
+        "stuffed": int(stuffed.value),
+    }
+
+
+def jpeg_scan_stats_progressive(
+    width: int,
+    height: int,
+    subsampling: str,
+    y_coeffs: np.ndarray,
+    cb_coeffs: np.ndarray,
+    cr_coeffs: np.ndarray,
+) -> dict:
+    """Progressive (SOF2 spectral-selection) analog of jpeg_scan_stats:
+    2 DC + 3 AC table-class histograms (Y low band / chroma / Y high band),
+    total entropy bytes over the 5 scans, and total stuffed bytes."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "ce_jpeg_scan_stats_progressive"):
+        raise RuntimeError(
+            "native JPEG scan stats unavailable; build with `make -C native`"
+        )
+    y = np.ascontiguousarray(y_coeffs, dtype=np.int16)
+    cb = np.ascontiguousarray(cb_coeffs, dtype=np.int16)
+    cr = np.ascontiguousarray(cr_coeffs, dtype=np.int16)
+    dc_freq = np.zeros((2, 256), dtype=np.uint32)
+    ac_freq = np.zeros((3, 256), dtype=np.uint32)
+    cap = 2 * (y.nbytes + cb.nbytes + cr.nbytes) + (1 << 16)
+    scratch = np.empty(cap, dtype=np.uint8)
+    scan_bytes = ctypes.c_int64()
+    stuffed = ctypes.c_int64()
+    sub_code = {"444": 0, "420": 1, "422": 2, "440": 3}[subsampling]
+    rc = lib.ce_jpeg_scan_stats_progressive(
+        width, height, sub_code,
+        y.ctypes.data, cb.ctypes.data, cr.ctypes.data,
+        y.shape[0], y.shape[1], cb.shape[0], cb.shape[1],
+        dc_freq.ctypes.data, ac_freq.ctypes.data,
+        scratch.ctypes.data, cap,
+        ctypes.byref(scan_bytes), ctypes.byref(stuffed),
+    )
+    if rc != 0:
+        raise RuntimeError("jpeg progressive scan stats failed (buffer/args)")
     return {
         "dc_freq": dc_freq,
         "ac_freq": ac_freq,

@@ -641,6 +641,68 @@ int64_t ce_jpeg_scan_stats(
     return 0;
 }
 
+// Progressive analog of ce_jpeg_scan_stats: histograms per table class
+// (2 DC + 3 AC: Y low band, chroma, Y high band), total entropy-coded
+// bytes over all 5 scans (each flush-padded), and total stuffed bytes.
+int64_t ce_jpeg_scan_stats_progressive(
+    uint16_t width, uint16_t height, int subsampling,
+    const int16_t* y_coeffs, const int16_t* cb_coeffs, const int16_t* cr_coeffs,
+    uint32_t by_y, uint32_t bx_y, uint32_t by_c, uint32_t bx_c,
+    uint32_t* dc_freq_out /*2*256*/, uint32_t* ac_freq_out /*3*256*/,
+    uint8_t* scratch, size_t scratch_cap,
+    int64_t* scan_bytes_out, int64_t* stuffed_out) {
+    if (!y_coeffs || !cb_coeffs || !cr_coeffs || !dc_freq_out || !ac_freq_out ||
+        !scratch || !scan_bytes_out || !stuffed_out)
+        return -1;
+    int sh = (subsampling == 1 || subsampling == 2) ? 2 : 1;
+    int sv = (subsampling == 1 || subsampling == 3) ? 2 : 1;
+    if (by_y != by_c * sv || bx_y != bx_c * sh) return -1;
+
+    Component comps[3] = {
+        {y_coeffs, by_y, bx_y, sh, sv, 0, 0, 0},
+        {cb_coeffs, by_c, bx_c, 1, 1, 1, 1, 0},
+        {cr_coeffs, by_c, bx_c, 1, 1, 1, 1, 0},
+    };
+    uint32_t ny_y = (uint32_t(height) + 7) / 8;
+    uint32_t nx_y = (uint32_t(width) + 7) / 8;
+    uint32_t ny_c = sv == 2 ? ((uint32_t(height) + 1) / 2 + 7) / 8 : ny_y;
+    uint32_t nx_c = sh == 2 ? ((uint32_t(width) + 1) / 2 + 7) / 8 : nx_y;
+
+    std::memset(dc_freq_out, 0, 2 * 256 * sizeof(uint32_t));
+    std::memset(ac_freq_out, 0, 3 * 256 * sizeof(uint32_t));
+    dc_scan(comps, 3, by_c, bx_c, dc_freq_out, nullptr, nullptr);
+    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 1, 5, ac_freq_out + 0 * 256, nullptr,
+            nullptr);
+    ac_scan(cb_coeffs, bx_c, ny_c, nx_c, 1, 63, ac_freq_out + 1 * 256, nullptr,
+            nullptr);
+    ac_scan(cr_coeffs, bx_c, ny_c, nx_c, 1, 63, ac_freq_out + 1 * 256, nullptr,
+            nullptr);
+    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 6, 63, ac_freq_out + 2 * 256, nullptr,
+            nullptr);
+
+    HuffTable dc_tabs[2], ac_tabs[3];
+    for (int i = 0; i < 2; ++i)
+        build_optimal_table(dc_freq_out + i * 256, &dc_tabs[i]);
+    for (int i = 0; i < 3; ++i)
+        build_optimal_table(ac_freq_out + i * 256, &ac_tabs[i]);
+
+    BitWriter bw{scratch, scratch_cap, 0, 0, 0, false, 0};
+    dc_scan(comps, 3, by_c, bx_c, nullptr, dc_tabs, &bw);
+    bw.flush();
+    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 1, 5, nullptr, &ac_tabs[0], &bw);
+    bw.flush();
+    ac_scan(cb_coeffs, bx_c, ny_c, nx_c, 1, 63, nullptr, &ac_tabs[1], &bw);
+    bw.flush();
+    ac_scan(cr_coeffs, bx_c, ny_c, nx_c, 1, 63, nullptr, &ac_tabs[1], &bw);
+    bw.flush();
+    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 6, 63, nullptr, &ac_tabs[2], &bw);
+    bw.flush();
+    if (bw.overflow) return -1;
+    *scan_bytes_out = int64_t(bw.pos);
+    *stuffed_out = int64_t(bw.stuffed);
+    return 0;
+}
+
 // Original entry point (JFIF container).
 int64_t ce_jpeg_encode_baseline(
     uint16_t width, uint16_t height, int subsampling,

@@ -100,13 +100,89 @@ def test_sweep_device_sizes_match_exact_sizes():
         assert d.metrics["psnr"] == pytest.approx(e.metrics["psnr"])
 
 
-def test_sweep_device_sizes_rejects_progressive():
+@pytest.mark.parametrize("sub", ["420", "444"])
+def test_progressive_histograms_match_cpp_oracle(sub):
+    """The SOF2 spectral-selection scans: per-band symbol histograms
+    (including cross-block EOBRUN symbols) computed on device equal the
+    coder's own statistics pass; per-scan bit accounting closes the full
+    file length to the byte given the oracle's true stuffing count."""
+    cy, ccb, ccr, ql, qc = _quantized(sub, 75)
+    h, w = IMG.shape[:2]
+    oracle = native.jpeg_scan_stats_progressive(w, h, sub, cy, ccb, ccr)
+    stats_fn = jr.build_progressive_ladder_rate_stats(h, w, sub)
+    packed = np.asarray(stats_fn(cy[None], ccb[None], ccr[None]))[0]
+    st = {
+        "dc_y": packed[:16], "dc_c": packed[16:32], "low": packed[32:288],
+        "cb": packed[288:544], "cr": packed[544:800], "high": packed[800:1056],
+    }
+    np.testing.assert_array_equal(
+        st["dc_y"].astype(np.int64), oracle["dc_freq"][0][:16]
+    )
+    np.testing.assert_array_equal(
+        st["dc_c"].astype(np.int64), oracle["dc_freq"][1][:16]
+    )
+    np.testing.assert_array_equal(
+        st["low"].astype(np.int64), oracle["ac_freq"][0]
+    )
+    np.testing.assert_array_equal(
+        (st["cb"] + st["cr"]).astype(np.int64), oracle["ac_freq"][1]
+    )
+    np.testing.assert_array_equal(
+        st["high"].astype(np.int64), oracle["ac_freq"][2]
+    )
+
+    data = native.jpeg_encode_baseline(
+        w, h, sub, cy, ccb, ccr,
+        ql[je.ZIGZAG].astype(np.uint16), qc[je.ZIGZAG].astype(np.uint16),
+        progressive=True,
+    )
+    est = jr.progressive_size_estimate(
+        st["dc_y"], st["dc_c"], st["low"], st["cb"], st["cr"], st["high"]
+    )
+    scan_wo_stuff = oracle["scan_bytes"] - oracle["stuffed"]
+    assert est - int(round(scan_wo_stuff / 368.0)) + oracle["stuffed"] == len(data)
+    assert abs(est - len(data)) <= max(4, 0.004 * len(data))
+
+
+def test_progressive_eobrun_cap_and_long_runs():
+    """A sparse high band produces long cross-block EOB runs; the device
+    EOBRUN bucketing (log2 buckets, 0x7FFF cap) must agree with the coder
+    symbol-for-symbol."""
+    h = w = 256
+    rng = np.random.default_rng(3)
+    # DC-only image with a handful of isolated high-frequency spikes:
+    # nearly every block's AC band is empty -> runs of hundreds of blocks.
+    img = np.full((h, w, 3), 128, np.uint8)
+    for _ in range(5):
+        yy, xx = rng.integers(0, h - 8, 2)
+        img[yy : yy + 8, xx : xx + 8] = rng.integers(0, 255, (8, 8, 3))
+    planes = je.jpeg_transform(img, "444")
+    ql, qc = je.quality_to_qtables(85, je.ANNEX_K_LUMA, je.ANNEX_K_CHROMA)
+    cy = je.quantize_blocks(planes["dct_y"], ql, 0.5)
+    ccb = je.quantize_blocks(planes["dct_cb"], qc, 0.5)
+    ccr = je.quantize_blocks(planes["dct_cr"], qc, 0.5)
+    oracle = native.jpeg_scan_stats_progressive(w, h, "444", cy, ccb, ccr)
+    stats_fn = jr.build_progressive_ladder_rate_stats(h, w, "444")
+    packed = np.asarray(stats_fn(cy[None], ccb[None], ccr[None]))[0]
+    np.testing.assert_array_equal(
+        packed[32:288].astype(np.int64), oracle["ac_freq"][0]
+    )
+    np.testing.assert_array_equal(
+        packed[800:1056].astype(np.int64), oracle["ac_freq"][2]
+    )
+
+
+def test_sweep_device_sizes_progressive():
     from codec_eval_tpu.engine.tpu_sweep import evaluate_tpujpeg_sweep
 
-    with pytest.raises(ValueError, match="progressive"):
-        evaluate_tpujpeg_sweep(
-            IMG, [75], metrics=("psnr",), with_sizes="device", progressive=True
-        )
+    exact = evaluate_tpujpeg_sweep(
+        IMG, [60, 85], metrics=("psnr",), with_sizes=True, progressive=True
+    )
+    dev = evaluate_tpujpeg_sweep(
+        IMG, [60, 85], metrics=("psnr",), with_sizes="device", progressive=True
+    )
+    for e, d in zip(exact, dev):
+        assert abs(d.file_size - e.file_size) <= max(6, 0.004 * e.file_size)
 
 
 def test_t81_code_sizes_degenerate_histograms():
