@@ -205,11 +205,15 @@ class TpuJpegCodec(CodecImpl):
         qualities: Sequence[float],
         metrics: Sequence[str],
         with_bytes: bool = False,
+        size_mode: str = "exact",
     ):
         """Whole-ladder device evaluation (engine/tpu_sweep.py) with this
         codec's exact settings — the capability hook EvalSession uses to
         fuse encode/decode/score on device for tpujpeg codecs.  Trellis
-        runs as a device DP (kernels/jpeg_enc.trellis_quantize_dev)."""
+        runs as a device DP (kernels/jpeg_enc.trellis_quantize_dev).
+        size_mode="device" derives byte sizes from on-device rate
+        statistics instead of the host entropy coder (ignored when the
+        artifact bytes are needed)."""
         from ..engine.tpu_sweep import evaluate_tpujpeg_sweep
 
         return evaluate_tpujpeg_sweep(
@@ -222,6 +226,7 @@ class TpuJpegCodec(CodecImpl):
             progressive=self.progressive,
             return_bytes=with_bytes,
             trellis_lambda=self.trellis_lambda if self.trellis else 0.0,
+            with_sizes="device" if size_mode == "device" else True,
         )
 
     # -- internals ----------------------------------------------------------

@@ -54,6 +54,12 @@ class EvalConfig:
     viewing: ViewingCondition = field(default_factory=ViewingCondition.desktop)
     metrics: MetricConfig = field(default_factory=MetricConfig.all)
     quality_levels: List[float] = field(default_factory=lambda: list(DEFAULT_QUALITY_LEVELS))
+    #: Byte sizes on the device-sweep fast path: "exact" entropy-codes
+    #: fetched coefficients on host; "device" derives them from on-device
+    #: rate statistics (kernels/jpeg_rate.py — entropy-exact, 0xFF
+    #: stuffing estimated to ~±0.15%, no coefficient fetch).  Forced back
+    #: to "exact" when cache_dir needs the artifact bytes anyway.
+    device_size_mode: str = "exact"
 
     def __post_init__(self) -> None:
         # Validate on every construction path (builder, registry, direct) —
@@ -63,6 +69,11 @@ class EvalConfig:
         for q in self.quality_levels:
             if not 0.0 <= q <= 100.0:
                 raise InvalidQuality(q)
+        if self.device_size_mode not in ("exact", "device"):
+            raise ValueError(
+                f"device_size_mode must be 'exact' or 'device', "
+                f"got {self.device_size_mode!r}"
+            )
 
     @classmethod
     def builder(cls) -> "EvalConfigBuilder":
@@ -78,6 +89,7 @@ class EvalConfigBuilder:
         self._viewing: Optional[ViewingCondition] = None
         self._metrics: Optional[MetricConfig] = None
         self._quality_levels: Optional[List[float]] = None
+        self._device_size_mode: str = "exact"
 
     def report_dir(self, path) -> "EvalConfigBuilder":
         self._report_dir = Path(path)
@@ -99,6 +111,13 @@ class EvalConfigBuilder:
         self._quality_levels = [float(q) for q in levels]
         return self
 
+    def device_size_mode(self, mode: str) -> "EvalConfigBuilder":
+        """Byte sizes on the device-sweep fast path: "exact" (host entropy
+        coder) or "device" (on-device rate statistics; entropy-exact,
+        stuffing estimated ~±0.15%, no coefficient fetch)."""
+        self._device_size_mode = mode
+        return self
+
     def build(self) -> EvalConfig:
         if self._report_dir is None:
             raise ValueError("report_dir is required")
@@ -113,6 +132,7 @@ class EvalConfigBuilder:
             viewing=self._viewing or ViewingCondition.desktop(),
             metrics=self._metrics or MetricConfig.all(),
             quality_levels=self._quality_levels or list(DEFAULT_QUALITY_LEVELS),
+            device_size_mode=self._device_size_mode,
         )
 
 
@@ -308,6 +328,7 @@ class EvalSession:
         points = codec.impl.device_sweep(
             image, list(self.config.quality_levels), wanted,
             with_bytes=want_bytes,
+            size_mode=self.config.device_size_mode,
         )
         per_cell_ms = int(
             (time.perf_counter() - t0) * 1000 / max(len(points), 1)

@@ -358,6 +358,44 @@ def test_session_device_fast_path_matches_callback_path(tmp_path):
         assert a.file_size == b.file_size
         assert abs(a.metrics.ssimulacra2 - b.metrics.ssimulacra2) < 0.6
         assert abs(a.metrics.psnr - b.metrics.psnr) < 1.0
+
+
+def test_session_device_size_mode(tmp_path):
+    """EvalConfig(device_size_mode='device'): the fast path sizes come
+    from on-device rate statistics — close to the exact coder, and no
+    coefficient planes fetched."""
+    from codec_eval_tpu.engine.session import EvalConfig, EvalSession
+    from codec_eval_tpu.metrics import MetricConfig
+
+    img = _photo(96, 96)
+    qualities = [55.0, 90.0]
+
+    def make_session(mode):
+        return EvalSession(
+            EvalConfig.builder()
+            .report_dir(str(tmp_path / mode))
+            .metrics(MetricConfig.fast())
+            .quality_levels(qualities)
+            .device_size_mode(mode)
+            .build()
+        )
+
+    exact = make_session("exact")
+    exact.add_codec_impl(TpuJpegCodec())
+    dev = make_session("device")
+    dev.add_codec_impl(TpuJpegCodec())
+    re_ = exact.evaluate_image("img", ImageData.rgb8(img))
+    rd = dev.evaluate_image("img", ImageData.rgb8(img))
+    assert dev.device_sweeps_run == 1
+    for a, b in zip(rd.results, re_.results):
+        assert abs(a.file_size - b.file_size) <= max(6, 0.004 * b.file_size)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="device_size_mode"):
+        EvalConfig.builder().report_dir(str(tmp_path)).device_size_mode(
+            "bogus"
+        ).build()
         assert a.perception is not None and b.perception is not None
         assert a.decode_time_ms == 0  # fused device decode
         # Cached artifact is a real decodable JPEG.
