@@ -185,6 +185,64 @@ def test_sweep_device_sizes_progressive():
         assert abs(d.file_size - e.file_size) <= max(6, 0.004 * e.file_size)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_fuzz_random_planes_match_oracle(seed):
+    """Adversarial coefficient planes (dense large magnitudes, all-zero
+    blocks, isolated spikes, long zero runs) — device histograms must equal
+    the coder's on both scan scripts, and the bit accounting must close
+    the exact scan size."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    by, bx = 6, 8  # 420: chroma 3x4
+    h, w = by * 8, bx * 8
+
+    def plane(shape, density, mag):
+        p = rng.integers(-mag, mag + 1, (*shape, 64)).astype(np.int16)
+        mask = rng.random((*shape, 64)) < density
+        p = np.where(mask, p, 0).astype(np.int16)
+        p[..., 0] = rng.integers(-1023, 1024, shape)  # live DC everywhere
+        return np.clip(p, -1023, 1023).astype(np.int16)
+
+    density = [0.02, 0.5, 0.95][seed]
+    mag = [1023, 37, 3][seed]
+    cy = plane((by, bx), density, mag)
+    ccb = plane((by // 2, bx // 2), density, mag)
+    ccr = plane((by // 2, bx // 2), density, mag)
+    cy[0] = 0  # an entirely empty block (EOB-only / EOBRUN member)
+    cy[0, :, 0] = 7
+
+    o = native.jpeg_scan_stats("420", cy, ccb, ccr)
+    st = jax.jit(jr.build_rate_stats("420"))(
+        jnp.asarray(cy), jnp.asarray(ccb), jnp.asarray(ccr)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st["ac_y"]).astype(np.int64), o["ac_freq"][0]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(st["dc_y"]).astype(np.int64), o["dc_freq"][0][:16]
+    )
+    bits, _ = jr.scan_bits_from_hists(
+        np.asarray(st["dc_y"]), np.asarray(st["dc_c"]),
+        np.asarray(st["ac_y"]), np.asarray(st["ac_c"]),
+    )
+    assert (bits + 7) // 8 == o["scan_bytes"] - o["stuffed"]
+
+    op = native.jpeg_scan_stats_progressive(w, h, "420", cy, ccb, ccr)
+    stats_fn = jr.build_progressive_ladder_rate_stats(h, w, "420")
+    packed = np.asarray(stats_fn(cy[None], ccb[None], ccr[None]))[0]
+    np.testing.assert_array_equal(
+        packed[32:288].astype(np.int64), op["ac_freq"][0]
+    )
+    np.testing.assert_array_equal(
+        (packed[288:544] + packed[544:800]).astype(np.int64), op["ac_freq"][1]
+    )
+    np.testing.assert_array_equal(
+        packed[800:1056].astype(np.int64), op["ac_freq"][2]
+    )
+
+
 def test_t81_code_sizes_degenerate_histograms():
     # single-symbol histogram: the reserved symbol keeps it decodable
     freq = np.zeros(256, dtype=np.int64)
