@@ -4,7 +4,7 @@ from .helpers import assert_perception_level, assert_quality, evaluate_single
 from .image import ImageData
 from .report import CodecResult, CorpusReport, ImageReport
 from .scoring import BatchScorer
-from .tpu_sweep import TpuSweepPoint, evaluate_tpujpeg_sweep
+from .tpu_sweep import TpuSweepPoint, encode_to_target, evaluate_tpujpeg_sweep
 from .session import (
     DEFAULT_QUALITY_LEVELS,
     EncodeRequest,
@@ -24,6 +24,7 @@ __all__ = [
     "BatchScorer",
     "TpuSweepPoint",
     "evaluate_tpujpeg_sweep",
+    "encode_to_target",
     "DEFAULT_QUALITY_LEVELS",
     "EncodeRequest",
     "EvalConfig",

@@ -30,7 +30,7 @@ import numpy as np
 from ..kernels import jpeg_enc as _je
 from ..utils import native as _native
 
-__all__ = ["TpuSweepPoint", "evaluate_tpujpeg_sweep"]
+__all__ = ["TpuSweepPoint", "evaluate_tpujpeg_sweep", "encode_to_target"]
 
 
 @dataclass
@@ -186,3 +186,124 @@ def evaluate_tpujpeg_sweep(
             )
         )
     return points
+
+
+def encode_to_target(
+    image_u8: np.ndarray,
+    min_ssimulacra2: Optional[float] = None,
+    max_butteraugli: Optional[float] = None,
+    max_dssim: Optional[float] = None,
+    max_bits_per_pixel: Optional[float] = None,
+    qualities: Sequence[float] = tuple(range(30, 99, 2)),
+    subsampling: str = "420",
+    aq_strength: float = 0.30,
+    colorspace: str = "ycbcr",
+    progressive: bool = False,
+    trellis_lambda: float = 0.0,
+) -> TpuSweepPoint:
+    """Encode to a perceptual (and/or rate) target: the smallest file on
+    the quality grid satisfying every given constraint.
+
+    The whole dense grid is evaluated as ONE device ladder (scores only —
+    plus device rate statistics when a bpp ceiling is requested), then the
+    single selected quality is entropy-coded on host for the real bytes.
+    This is the capability the device-resident architecture buys: a
+    distance-targeted encode (cjxl-style) costs one dispatch instead of a
+    host-side encode/decode/score search loop — the reference's analog is
+    assert_quality-driven manual iteration
+    (src/eval/helpers.rs:212-253, crates/codec-iter eval loops).
+
+    Raises QualityBelowThreshold if no grid point satisfies the
+    constraints.  Returns a TpuSweepPoint with `.data` (the .jpg bytes),
+    exact `file_size`/`bits_per_pixel`, and the device-scored metrics of
+    the chosen quality.
+    """
+    from ..errors import QualityBelowThreshold
+
+    if not any(
+        c is not None
+        for c in (min_ssimulacra2, max_butteraugli, max_dssim,
+                  max_bits_per_pixel)
+    ):
+        raise ValueError("no target given")
+    metrics = tuple(
+        m
+        for m, need in (
+            ("ssimulacra2", min_ssimulacra2 is not None),
+            ("butteraugli", max_butteraugli is not None),
+            ("dssim", max_dssim is not None),
+        )
+        if need
+    ) or ("ssimulacra2",)
+    qualities = sorted(float(q) for q in qualities)
+    points = evaluate_tpujpeg_sweep(
+        image_u8,
+        qualities,
+        subsampling=subsampling,
+        aq_strength=aq_strength,
+        metrics=metrics,
+        with_sizes="device" if max_bits_per_pixel is not None else False,
+        colorspace=colorspace,
+        progressive=progressive,
+        trellis_lambda=trellis_lambda,
+    )
+
+    def ok(p: TpuSweepPoint) -> bool:
+        if min_ssimulacra2 is not None and p.metrics["ssimulacra2"] < min_ssimulacra2:
+            return False
+        if max_butteraugli is not None and p.metrics["butteraugli"] > max_butteraugli:
+            return False
+        if max_dssim is not None and p.metrics["dssim"] > max_dssim:
+            return False
+        if max_bits_per_pixel is not None and p.bits_per_pixel > max_bits_per_pixel:
+            return False
+        return True
+
+    # Quality is the rate knob: the lowest admissible grid point is the
+    # smallest file.  (Scores are not perfectly monotone in q, so scan
+    # rather than bisect — the grid is already scored.)
+    chosen = next((p for p in points if ok(p)), None)
+    if chosen is None:
+        # Report against the binding perceptual constraint (the highest
+        # quality's score is the best the grid can do).
+        top = points[-1]
+        if min_ssimulacra2 is not None:
+            raise QualityBelowThreshold(
+                "SSIMULACRA2", top.metrics["ssimulacra2"], min_ssimulacra2
+            )
+        if max_butteraugli is not None:
+            raise QualityBelowThreshold(
+                "Butteraugli", top.metrics["butteraugli"], max_butteraugli
+            )
+        if max_dssim is not None:
+            raise QualityBelowThreshold(
+                "DSSIM", top.metrics["dssim"], max_dssim
+            )
+        raise QualityBelowThreshold(
+            "bits_per_pixel",
+            min(p.bits_per_pixel for p in points),
+            max_bits_per_pixel,
+        )
+
+    # Exact bytes for the one selected quality.
+    exact = evaluate_tpujpeg_sweep(
+        image_u8,
+        [chosen.quality],
+        subsampling=subsampling,
+        aq_strength=aq_strength,
+        metrics=metrics,
+        with_sizes=True,
+        colorspace=colorspace,
+        progressive=progressive,
+        return_bytes=True,
+        trellis_lambda=trellis_lambda,
+    )[0]
+    # Keep the already-computed grid scores (identical program) but the
+    # exact size/bytes.
+    return TpuSweepPoint(
+        quality=chosen.quality,
+        bits_per_pixel=exact.bits_per_pixel,
+        file_size=exact.file_size,
+        metrics=exact.metrics,
+        data=exact.data,
+    )

@@ -243,6 +243,41 @@ def test_fuzz_random_planes_match_oracle(seed):
     )
 
 
+def test_encode_to_target():
+    """Target-driven encode: smallest grid quality meeting the constraint,
+    real decodable bytes, one device ladder dispatch for the search."""
+    import io
+
+    from PIL import Image
+
+    from codec_eval_tpu.engine.tpu_sweep import encode_to_target
+    from codec_eval_tpu.errors import QualityBelowThreshold
+    from codec_eval_tpu.kernels.ssimulacra2 import ssimulacra2
+
+    res = encode_to_target(IMG, min_ssimulacra2=80.0, qualities=range(30, 99, 4))
+    assert res.data is not None and res.file_size == len(res.data)
+    assert res.metrics["ssimulacra2"] >= 80.0
+    # verify via an independent decode of the emitted bytes
+    dec = np.asarray(Image.open(io.BytesIO(res.data)).convert("RGB"))
+    s2 = float(ssimulacra2(IMG, dec))
+    assert s2 >= 78.0, s2  # inter-decoder tolerance
+    # a tighter target picks a higher quality / bigger file
+    res_hi = encode_to_target(IMG, min_ssimulacra2=92.0, qualities=range(30, 99, 4))
+    assert res_hi.quality > res.quality and res_hi.file_size > res.file_size
+
+    # bpp ceiling (device rate statistics drive the search)
+    res_bpp = encode_to_target(
+        IMG, max_bits_per_pixel=1.0, min_ssimulacra2=50.0,
+        qualities=range(30, 99, 4),
+    )
+    assert res_bpp.bits_per_pixel <= 1.01
+
+    with pytest.raises(QualityBelowThreshold):
+        encode_to_target(IMG, min_ssimulacra2=99.9, qualities=[30, 50])
+    with pytest.raises(ValueError, match="no target"):
+        encode_to_target(IMG)
+
+
 def test_t81_code_sizes_degenerate_histograms():
     # single-symbol histogram: the reserved symbol keeps it decodable
     freq = np.zeros(256, dtype=np.int64)
