@@ -219,6 +219,59 @@ def cmd_baseline(args) -> int:
     raise ValueError(args.baseline_cmd)
 
 
+def cmd_target(args) -> int:
+    """Distance-targeted encode: one device ladder finds the smallest file
+    meeting the given floors/ceiling, then that quality is entropy-coded.
+    No reference analog — its loop would search by re-encoding on host."""
+    from ..engine.tpu_sweep import encode_to_target
+
+    if all(
+        v is None
+        for v in (args.min_ssim2, args.max_butteraugli, args.max_dssim,
+                  args.max_bpp)
+    ):
+        print("error: give at least one of --min-ssim2/--max-butteraugli/"
+              "--max-dssim/--max-bpp", file=sys.stderr)
+        return 2
+    images = load_sources(args.corpus, args.limit)
+    # The quick default is too coarse for targeting; use the dense grid
+    # unless the user picked a preset deliberately.
+    qualities = QUALITY_PRESETS[args.preset if args.preset != "quick" else "dense"]
+    print(
+        f"target: tpujpeg-{args.subsampling} on {len(images)} images "
+        f"(grid of {len(qualities)})"
+    )
+    print(f"\n{'image':<28} {'q':>4} {'bpp':>7} {'bytes':>9} {'ssim2':>7} {'ba':>6}")
+    out_dir = args.out
+    if out_dir is not None:
+        out_dir.mkdir(parents=True, exist_ok=True)
+    for src in images:
+        res = encode_to_target(
+            src.rgb,
+            min_ssimulacra2=args.min_ssim2,
+            max_butteraugli=args.max_butteraugli,
+            max_dssim=args.max_dssim,
+            max_bits_per_pixel=args.max_bpp,
+            qualities=qualities,
+            subsampling=args.subsampling,
+            colorspace="xyb" if args.xyb else "ycbcr",
+            progressive=not args.no_progressive and not args.xyb,
+            trellis_lambda=0.10 if args.trellis else 0.0,
+        )
+        def fmt(key, width):
+            v = res.metrics.get(key)
+            return f"{v:>{width}.2f}" if v is not None else " " * (width - 1) + "-"
+
+        print(
+            f"{src.name:<28} {res.quality:>4g} {res.bits_per_pixel:>7.3f} "
+            f"{res.file_size:>9} {fmt('ssimulacra2', 7)} {fmt('butteraugli', 6)}"
+        )
+        if out_dir is not None:
+            stem = Path(src.name).stem
+            (out_dir / f"{stem}.jpg").write_bytes(res.data)
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         prog="codec-iter", description="fast encoder iteration (TPU-scored)"
@@ -228,6 +281,21 @@ def main(argv=None) -> int:
     p_eval = sub.add_parser("eval", help="evaluate one codec config")
     _add_common(p_eval)
     p_eval.set_defaults(fn=cmd_eval)
+
+    p_target = sub.add_parser(
+        "target",
+        help="tpujpeg: encode each image to a perceptual/rate target "
+        "(one device ladder per image)",
+    )
+    _add_common(p_target)
+    p_target.add_argument("--min-ssim2", type=float, default=None)
+    p_target.add_argument("--max-butteraugli", type=float, default=None)
+    p_target.add_argument("--max-dssim", type=float, default=None)
+    p_target.add_argument("--max-bpp", type=float, default=None)
+    p_target.add_argument(
+        "--out", type=Path, default=None, help="write the .jpg files here"
+    )
+    p_target.set_defaults(fn=cmd_target)
 
     p_sweep = sub.add_parser("sweep", help="sweep codec configs")
     _add_common(p_sweep)

@@ -290,3 +290,42 @@ def test_sparse_clone_set_fetch_cli(tmp_path, capsys, monkeypatch):
     m = re.search(r"enabled: True; files: (\d+)/(\d+)", status_out)
     assert m, status_out
     assert int(m.group(1)) == 3 and int(m.group(2)) == 4
+
+
+def test_codec_iter_target_cli(corpus, tmp_path, capsys):
+    """`codec-iter target`: every emitted file decodes, meets the floor
+    per the table, and respects the bpp ceiling; the table quality rises
+    with a tighter floor."""
+    from codec_eval_tpu.codecs.tpujpeg import is_available
+
+    if not is_available():
+        pytest.skip("native entropy coder not built")
+    out = tmp_path / "jpgs"
+    rc = iter_main(
+        ["target", "--corpus", str(corpus), "--min-ssim2", "75",
+         "--preset", "standard", "--out", str(out)]
+    )
+    assert rc == 0
+    table = capsys.readouterr().out
+    rows = [r for r in (l.split() for l in table.splitlines()) if len(r) >= 5][1:]
+    assert len(rows) == 2
+    for r in rows:
+        assert float(r[4]) >= 75.0  # ssim2 column meets the floor
+    jpgs = sorted(out.glob("*.jpg"))
+    assert len(jpgs) == 2
+    import io
+
+    from PIL import Image as _Image
+
+    for p in jpgs:
+        im = _Image.open(io.BytesIO(p.read_bytes()))
+        assert im.size == (48, 48)
+
+    # constraint unreachable -> CodecEvalError path (exit 1)
+    rc = iter_main(
+        ["target", "--corpus", str(corpus), "--min-ssim2", "99.9",
+         "--preset", "quick"]
+    )
+    assert rc == 1
+    # no constraint -> usage error (exit 2)
+    assert iter_main(["target", "--corpus", str(corpus)]) == 2
