@@ -307,7 +307,11 @@ def test_codec_iter_target_cli(corpus, tmp_path, capsys):
     )
     assert rc == 0
     table = capsys.readouterr().out
-    rows = [r for r in (l.split() for l in table.splitlines()) if len(r) >= 5][1:]
+    rows = [
+        r
+        for r in (l.split() for l in table.splitlines())
+        if len(r) >= 5 and r[0].endswith(".png")
+    ]
     assert len(rows) == 2
     for r in rows:
         assert float(r[4]) >= 75.0  # ssim2 column meets the floor
