@@ -284,6 +284,44 @@ def run_sweep_scenario(jax, jnp) -> dict:
         tpu_e2e_rates()
     )
 
+    # Device-decode scoring of externally-encoded JPEGs: the host runs only
+    # the Huffman parse (native/jpeg_huff_decode.cpp); dequant + iDCT +
+    # upsample + all-metric scoring run on device
+    # (codecs/jpeg_device.score_jpeg_files).  Measured ~2x the
+    # PIL-decode+staged-pixel path on this tunnel (u8 channel-last staging
+    # is pathologically slow here); on PCIe hosts the win is ~4x less host
+    # decode CPU per image instead.
+    def jpeg_device_decode_rate():
+        import io as _io
+
+        from PIL import Image as _Image
+
+        from codec_eval_tpu.codecs import jpeg_device as _jd
+
+        if not _jd.is_available():
+            return None
+        n_img = 3
+
+        def ladder(img):
+            out = []
+            for q in SWEEP_QUALITIES:
+                b = _io.BytesIO()
+                _Image.fromarray(img).save(b, "JPEG", quality=int(q))
+                out.append(b.getvalue())
+            return out
+
+        refs = [
+            _photo(SWEEP_SIZE, SWEEP_SIZE, 7700 + i) for i in range(n_img + 1)
+        ]
+        ladders = [ladder(r) for r in refs]
+        _ = _jd.score_jpeg_files(refs[0], ladders[0])  # warm
+        t0 = time.perf_counter()
+        for i in range(1, n_img + 1):
+            _ = _jd.score_jpeg_files(refs[i], ladders[i])
+        return n_img * len(SWEEP_QUALITIES) / (time.perf_counter() - t0)
+
+    jpeg_dev_pps = jpeg_device_decode_rate()
+
     # End-to-end: host encode/decode overlapped with device scoring via a
     # producer pool + async dispatch (SURVEY.md §7 hard part #2).
     def e2e_once():
@@ -340,6 +378,9 @@ def run_sweep_scenario(jax, jnp) -> dict:
             tpu_e2e_device_sizes_pps, 1
         ),
         "tpu_e2e_ladder_scores_only_pairs_per_sec": round(tpu_e2e_scores_pps, 1),
+        "jpeg_device_decode_score_pairs_per_sec": (
+            round(jpeg_dev_pps, 1) if jpeg_dev_pps else None
+        ),
         "host_cpu_count": __import__("os").cpu_count(),
         "cid22_dense_sweep_v5e8_seconds_allmetric": round(cid22_v5e8_s, 2),
         "achieved_tflops": achieved_tflops,

@@ -12,6 +12,7 @@ from .pil_codecs import (
     jpegxl_stub,
 )
 from .jxl import JpegXlCodec
+from .jpeg_device import decode_jpeg_device, score_jpeg_files
 from .tpujpeg import TpuJpegCodec
 from .registry import CodecRegistry, CompareConfig, FormatSelection
 from .html_report import generate_html
@@ -40,6 +41,8 @@ __all__ = [
     "jpegxl_stub",
     "JpegXlCodec",
     "TpuJpegCodec",
+    "decode_jpeg_device",
+    "score_jpeg_files",
     "CodecRegistry",
     "CompareConfig",
     "FormatSelection",

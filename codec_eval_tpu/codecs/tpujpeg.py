@@ -65,7 +65,7 @@ import numpy as np
 
 from ..engine.image import ImageData
 from ..engine.session import EncodeRequest
-from ..errors import CodecError
+from ..errors import CodecError, CodecEvalError
 from ..kernels import jpeg_enc as _je
 from ..utils import native as _native
 from .base import CodecImpl
@@ -164,6 +164,17 @@ class TpuJpegCodec(CodecImpl):
         )
 
     def decode(self, data: bytes) -> ImageData:
+        # Device decode path: host entropy parse + device dequant/iDCT/
+        # fancy-upsample (codecs/jpeg_device.py) — one code path for both
+        # the YCbCr and XYB (Adobe transform-0) containers.
+        from .jpeg_device import decode_jpeg_device, is_available
+
+        if is_available():
+            try:
+                return ImageData.rgb8(decode_jpeg_device(data))
+            except (ValueError, CodecEvalError) as exc:
+                raise CodecError(self.id(), f"decode failed: {exc}") from exc
+
         from PIL import Image
 
         try:

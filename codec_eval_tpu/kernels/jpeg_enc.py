@@ -605,6 +605,65 @@ def build_reconstruct_sweep(
     return jax.jit(sweep)
 
 
+@functools.lru_cache(maxsize=32)
+def build_jpeg_decode(
+    height: int,
+    width: int,
+    subsampling: str = "420",
+    colorspace: str = "ycbcr",
+    planar: bool = False,
+    batch: bool = False,
+):
+    """Jitted device JPEG decode from entropy-decoded coefficients.
+
+    fn(cy (byY, bxY, 64) int zigzag, ccb, ccr (byC, bxC, 64),
+    qtab_luma_zz (64,) f32/int, qtab_chroma_zz) -> (H, W, 3) u8 (or
+    (3, H, W) with planar=True — the chunk scorer's layout).
+
+    The second half of device-side JPEG decoding: the host stops at the
+    Huffman parse (native/jpeg_huff_decode.cpp via
+    utils.native.jpeg_parse_coefficients) and this program runs the
+    dequantization, exact float inverse DCT, and libjpeg-style fancy
+    (triangle) chroma upsampling on the accelerator.  colorspace="xyb"
+    inverts the tpujpeg Adobe-transform-0 opsin container instead of
+    BT.601.  Matches libjpeg's decode of the same stream to ~0.6 u8 RMS
+    (its integer islow iDCT approximates the same float transform).
+
+    reference: the reference decodes entirely on host
+    (src/decode.rs:41-98 and every codec adapter's decode_fn).
+    """
+    if subsampling not in ("420", "444", "422", "440"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    wmat = jnp.asarray(_zigzag_dct_matrix())
+
+    def rp(coef_zz, q_zz):
+        deq = coef_zz.astype(jnp.float32) * q_zz.astype(jnp.float32)
+        flat = jnp.einsum(
+            "kp,...k->...p", wmat, deq, precision=jax.lax.Precision.HIGHEST
+        )
+        blocks = flat.reshape(*flat.shape[:-1], 8, 8)
+        return _unblockify(blocks) + 128.0
+
+    def decode(cy, ccb, ccr, ql_zz, qc_zz):
+        y = rp(cy, ql_zz)
+        cb = rp(ccb, qc_zz)
+        cr = rp(ccr, qc_zz)
+        if subsampling in ("420", "422"):
+            cb, cr = _triangle_up_h(cb), _triangle_up_h(cr)
+        if subsampling in ("420", "440"):
+            cb, cr = _triangle_up_v(cb), _triangle_up_v(cr)
+        if colorspace == "xyb":
+            rgb = _scaled_xyb_to_rgb_u8(y, cb, cr, planar=planar)
+        else:
+            rgb = _ycbcr_to_rgb_u8(y, cb, cr, planar=planar)
+        return rgb[:, :height, :width] if planar else rgb[:height, :width, :]
+
+    # batch=True: one dispatch decodes a whole candidate ladder (leading
+    # axis on every argument) — per-candidate dispatches pay a round trip
+    # each on a remote runtime.
+    return jax.jit(jax.vmap(decode)) if batch else jax.jit(decode)
+
+
 def quantize_blocks(
     dct_zz: np.ndarray,
     qtable_natural: np.ndarray,

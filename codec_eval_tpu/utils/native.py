@@ -108,6 +108,14 @@ def _load() -> Optional[ctypes.CDLL]:
                     ctypes.c_void_p, ctypes.c_size_t,
                     ctypes.c_void_p, ctypes.c_void_p,
                 ]
+            if hasattr(lib, "ce_jpeg_parse"):
+                lib.ce_jpeg_parse.restype = ctypes.c_int64
+                lib.ce_jpeg_parse.argtypes = [
+                    ctypes.c_void_p, ctypes.c_size_t,
+                    ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                    ctypes.c_void_p, ctypes.c_void_p,
+                ]
             if hasattr(lib, "ce_jpeg_scan_stats_progressive"):
                 lib.ce_jpeg_scan_stats_progressive.restype = ctypes.c_int64
                 lib.ce_jpeg_scan_stats_progressive.argtypes = [
@@ -310,6 +318,74 @@ def jpeg_scan_stats(
         "ac_freq": ac_freq,
         "scan_bytes": int(scan_bytes.value),
         "stuffed": int(stuffed.value),
+    }
+
+
+def jpeg_parse_coefficients(data: bytes) -> dict:
+    """Entropy-decode a JPEG stream to quantized zigzag coefficient planes
+    (native/jpeg_huff_decode.cpp) — the host half of device-side JPEG
+    decoding.  Handles baseline (SOF0/SOF1) and progressive (SOF2,
+    spectral selection + successive approximation), 3-component 8-bit
+    Huffman streams with restart markers.
+
+    Returns {"width", "height", "subsampling" ("444"/"420"/"422"/"440"),
+    "progressive" bool, "adobe_transform" (None or int),
+    "y"/"cb"/"cr": (by, bx, 64) int16 zigzag on the padded MCU grid,
+    "qtab_luma_zz"/"qtab_chroma_zz": uint16[64]}.
+
+    Raises UnsupportedFormat for streams outside that envelope (CMYK,
+    grayscale, 12-bit, arithmetic, hierarchical), ValueError on corrupt
+    data.
+    """
+    from ..errors import UnsupportedFormat
+
+    lib = _load()
+    if lib is None or not hasattr(lib, "ce_jpeg_parse"):
+        raise RuntimeError(
+            "native JPEG parser unavailable; build with `make -C native`"
+        )
+    buf = np.frombuffer(data, dtype=np.uint8)
+    hdr = np.zeros(16, dtype=np.uint32)
+    rc = lib.ce_jpeg_parse(
+        buf.ctypes.data, buf.nbytes, hdr.ctypes.data, None, None, None,
+        None, None,
+    )
+    if rc == -2:
+        raise UnsupportedFormat(
+            "JPEG stream outside the supported envelope "
+            "(need 8-bit 3-component Huffman, chroma sampling 1x1)"
+        )
+    if rc != 0:
+        raise ValueError("corrupt JPEG stream")
+    w, h = int(hdr[0]), int(hdr[1])
+    by_y, bx_y, by_c, bx_c = (int(x) for x in hdr[5:9])
+    sh, sv = int(hdr[3]), int(hdr[4])
+    sub = {(1, 1): "444", (2, 2): "420", (2, 1): "422", (1, 2): "440"}[
+        (sh, sv)
+    ]
+    y = np.zeros((by_y, bx_y, 64), dtype=np.int16)
+    cb = np.zeros((by_c, bx_c, 64), dtype=np.int16)
+    cr = np.zeros((by_c, bx_c, 64), dtype=np.int16)
+    ql = np.zeros(64, dtype=np.uint16)
+    qc = np.zeros(64, dtype=np.uint16)
+    rc = lib.ce_jpeg_parse(
+        buf.ctypes.data, buf.nbytes, hdr.ctypes.data,
+        y.ctypes.data, cb.ctypes.data, cr.ctypes.data,
+        ql.ctypes.data, qc.ctypes.data,
+    )
+    if rc != 0:
+        raise ValueError("corrupt JPEG stream (entropy decode failed)")
+    return {
+        "width": w,
+        "height": h,
+        "subsampling": sub,
+        "progressive": bool(hdr[9]),
+        "adobe_transform": int(hdr[10]) - 1 if hdr[10] else None,
+        "y": y,
+        "cb": cb,
+        "cr": cr,
+        "qtab_luma_zz": ql,
+        "qtab_chroma_zz": qc,
     }
 
 

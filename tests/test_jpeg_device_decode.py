@@ -1,0 +1,149 @@
+"""Device-side JPEG decoding (codecs/jpeg_device.py + the native entropy
+decoder): host Huffman parse, accelerator reconstruction.
+
+Oracles: (1) the tpujpeg encoder's own quantized coefficients — parsing
+its files back must reproduce them EXACTLY (baseline and progressive, all
+subsamplings); (2) PIL/libjpeg — pixel output of the device decode must
+agree within the inter-decoder tolerance (integer islow iDCT vs exact
+float; both use the triangle "fancy" chroma upsample).  reference
+context: the reference decodes entirely on host (src/decode.rs:41-98).
+"""
+
+from __future__ import annotations
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from codec_eval_tpu.codecs import jpeg_device
+from codec_eval_tpu.iter.source import synthetic_sources
+from codec_eval_tpu.kernels import jpeg_enc as je
+from codec_eval_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(
+    not jpeg_device.is_available(), reason="native JPEG parser not built"
+)
+
+IMG = synthetic_sources(1, 250)[0].rgb  # 250px: padded MCU grid coverage
+
+
+def _pil_bytes(img, **opts) -> bytes:
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", **opts)
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("sub", ["420", "444", "422", "440"])
+@pytest.mark.parametrize("progressive", [False, True])
+def test_parse_roundtrips_own_encoder_exactly(sub, progressive):
+    h, w = IMG.shape[:2]
+    planes = je.jpeg_transform(IMG, sub)
+    ql, qc = je.quality_to_qtables(75, je.ANNEX_K_LUMA, je.ANNEX_K_CHROMA)
+    cy = je.quantize_blocks(planes["dct_y"], ql, 0.5)
+    ccb = je.quantize_blocks(planes["dct_cb"], qc, 0.5)
+    ccr = je.quantize_blocks(planes["dct_cr"], qc, 0.5)
+    data = native.jpeg_encode_baseline(
+        w, h, sub, cy, ccb, ccr,
+        ql[je.ZIGZAG].astype(np.uint16), qc[je.ZIGZAG].astype(np.uint16),
+        progressive=progressive,
+    )
+    p = jpeg_device.parse_jpeg(data)
+    assert (p["width"], p["height"]) == (w, h)
+    assert p["subsampling"] == sub
+    assert p["progressive"] == progressive
+    np.testing.assert_array_equal(p["qtab_luma_zz"], ql[je.ZIGZAG])
+    np.testing.assert_array_equal(p["y"], cy)
+    np.testing.assert_array_equal(p["cb"], ccb)
+    np.testing.assert_array_equal(p["cr"], ccr)
+
+
+@pytest.mark.parametrize(
+    "opts",
+    [
+        {"quality": 75},
+        {"quality": 75, "progressive": True},
+        {"quality": 90, "subsampling": 0},
+        {"quality": 85, "progressive": True, "subsampling": 0},
+        {"quality": 35, "progressive": True},
+        {"quality": 60, "restart_marker_blocks": 3},
+        {"quality": 60, "progressive": True, "restart_marker_blocks": 2},
+        {"quality": 75, "optimize": True},
+    ],
+)
+def test_device_decode_matches_pil(opts):
+    data = _pil_bytes(IMG, **opts)
+    dec = jpeg_device.decode_jpeg_device(data)
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert dec.shape == pil.shape
+    rms = float(
+        np.sqrt(np.mean((dec.astype(np.float64) - pil.astype(np.float64)) ** 2))
+    )
+    assert rms < 1.1, (opts, rms)
+
+
+def test_device_decode_xyb_container():
+    """The tpujpeg XYB (Adobe transform-0) container routes through the
+    same parse + device reconstruction with the opsin inverse."""
+    from codec_eval_tpu.codecs.tpujpeg import TpuJpegCodec
+    from codec_eval_tpu.engine.image import ImageData
+    from codec_eval_tpu.engine.session import EncodeRequest
+
+    codec = TpuJpegCodec(colorspace="xyb")
+    data = codec.encode(ImageData.rgb8(IMG), EncodeRequest(85.0))
+    p = jpeg_device.parse_jpeg(data)
+    assert p["adobe_transform"] == 0
+    dec = jpeg_device.decode_jpeg_device(data)
+    rms = float(np.sqrt(np.mean((dec.astype(np.float64) - IMG) ** 2)))
+    assert rms < 12.0, rms
+
+
+def test_score_jpeg_files_mixed_configs():
+    """Candidates may mix subsampling/progressive; scores match scoring
+    the PIL-decoded pixels through the same kernels within the
+    inter-decoder tolerance, and quality ordering is preserved."""
+    from codec_eval_tpu.kernels.ssimulacra2 import ssimulacra2
+
+    datas = [
+        _pil_bytes(IMG, quality=45),
+        _pil_bytes(IMG, quality=75, progressive=True),
+        _pil_bytes(IMG, quality=92, subsampling=0),
+    ]
+    scores = jpeg_device.score_jpeg_files(
+        IMG, datas, metrics=("ssimulacra2", "psnr")
+    )
+    s2 = [s["ssimulacra2"] for s in scores]
+    assert s2[0] < s2[1] < s2[2], s2
+    for data, s in zip(datas, scores):
+        pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        direct = float(ssimulacra2(IMG, pil))
+        assert abs(s["ssimulacra2"] - direct) < 0.6, (s, direct)
+
+
+def test_unsupported_and_corrupt_streams():
+    from codec_eval_tpu.errors import UnsupportedFormat
+
+    gray = _pil_bytes(np.asarray(Image.fromarray(IMG).convert("L")))
+    with pytest.raises(UnsupportedFormat):
+        jpeg_device.parse_jpeg(gray)
+    cmyk = io.BytesIO()
+    Image.fromarray(IMG).convert("CMYK").save(cmyk, "JPEG")
+    with pytest.raises(UnsupportedFormat):
+        jpeg_device.parse_jpeg(cmyk.getvalue())
+    # corrupt header: either error taxonomy is acceptable (the parser
+    # cannot always distinguish corrupt from unsupported)
+    with pytest.raises((ValueError, UnsupportedFormat)):
+        jpeg_device.parse_jpeg(b"\xff\xd8\xff\xdb junk")
+    # Truncated entropy data decodes leniently (missing bits read as
+    # zeros — libjpeg-style error recovery), it must not crash or hang.
+    good = _pil_bytes(IMG, quality=75)
+    p = jpeg_device.parse_jpeg(good[: len(good) - len(good) // 3])
+    assert p["y"].shape[0] > 0
+
+    from codec_eval_tpu.errors import DimensionMismatch
+
+    with pytest.raises(DimensionMismatch):
+        jpeg_device.score_jpeg_files(
+            IMG, [_pil_bytes(IMG[:128, :128], quality=75)]
+        )
