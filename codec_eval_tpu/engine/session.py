@@ -164,6 +164,7 @@ class EvalSession:
         #: design, but silent ones would hide real defects.
         self.device_sweeps_run = 0
         self.device_sweep_fallbacks = 0
+        self.jpeg_device_decodes_run = 0
 
     def add_codec(self, codec_id: str, version: str, encode: EncodeFn) -> "EvalSession":
         self._codecs.append(_CodecEntry(codec_id, version, encode, None))
@@ -194,7 +195,13 @@ class EvalSession:
         return len(self._codecs)
 
     def _stage_cell(
-        self, name: str, image: ImageData, codec: _CodecEntry, quality: float
+        self,
+        name: str,
+        image: ImageData,
+        codec: _CodecEntry,
+        quality: float,
+        keep_bytes: bool = False,
+        decode: bool = True,
     ) -> dict:
         """Host phase for one (codec, quality) cell: encode/decode, timed.
         reference timers: src/eval/session.rs:380-389."""
@@ -226,7 +233,9 @@ class EvalSession:
             "cached_path": cached_path,
             "error": None,
         }
-        if codec.decode is not None:
+        if keep_bytes:
+            entry["data"] = encoded
+        if codec.decode is not None and decode:
             t0 = time.perf_counter()
             decoded = codec.decode(encoded)
             entry["decode_ms"] = int((time.perf_counter() - t0) * 1000)
@@ -269,6 +278,24 @@ class EvalSession:
                         RuntimeWarning,
                         stacklevel=2,
                     )
+            if self._jpeg_device_ok(codec):
+                try:
+                    staged.extend(
+                        self._stage_codec_jpeg_device(name, image, codec)
+                    )
+                    self.jpeg_device_decodes_run += 1
+                    continue
+                except Exception as e:  # noqa: BLE001 - fall back, loudly
+                    import warnings
+
+                    self.device_sweep_fallbacks += 1
+                    warnings.warn(
+                        f"device JPEG decode failed for {codec.id} "
+                        f"({type(e).__name__}: {e}); using the host "
+                        "per-cell path",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
             for quality in self.config.quality_levels:
                 try:
                     staged.append(self._stage_cell(name, image, codec, quality))
@@ -299,6 +326,70 @@ class EvalSession:
             and not m.xyb_roundtrip
             and (m.dssim or m.ssimulacra2 or m.butteraugli or m.psnr)
         )
+
+    def _jpeg_device_ok(self, codec: _CodecEntry) -> bool:
+        """Adapter-registered codecs that emit standard JPEG streams can
+        decode and score on device (codecs/jpeg_device.py): the host runs
+        only the Huffman parse and the decoded candidates never visit
+        host RAM.  Gated exactly like the device sweep; callback-registered
+        codecs never qualify (their decode semantics are opaque)."""
+        m = self.config.metrics
+        if (
+            codec.impl is None
+            or codec.decode is None
+            or m.xyb_roundtrip
+            or not (m.dssim or m.ssimulacra2 or m.butteraugli or m.psnr)
+        ):
+            return False
+        try:
+            if codec.impl.format() != "jpg":
+                return False
+        except Exception:  # noqa: BLE001 - capability probe only
+            return False
+        from ..codecs import jpeg_device
+
+        return jpeg_device.is_available()
+
+    def _stage_codec_jpeg_device(
+        self, name: str, image: ImageData, codec: _CodecEntry
+    ) -> List[dict]:
+        """JPEG-bytes fast path: encode every quality on host (timed per
+        cell), then one device-decode + one fused scoring batch for the
+        whole ladder.  decode_ms carries each cell's share of the batch
+        wall time."""
+        from ..codecs.jpeg_device import score_jpeg_files
+        from ..metrics import MetricResult
+
+        m = self.config.metrics
+        wanted = tuple(
+            k
+            for k, on in (
+                ("dssim", m.dssim),
+                ("ssimulacra2", m.ssimulacra2),
+                ("butteraugli", m.butteraugli),
+                ("psnr", m.psnr),
+            )
+            if on
+        )
+        entries = [
+            self._stage_cell(
+                name, image, codec, q, keep_bytes=True, decode=False
+            )
+            for q in self.config.quality_levels
+        ]
+        t0 = time.perf_counter()
+        scores = score_jpeg_files(
+            image.to_rgb8(), [e["data"] for e in entries], metrics=wanted
+        )
+        per_cell_ms = int(
+            (time.perf_counter() - t0) * 1000 / max(len(entries), 1)
+        )
+        for e, s in zip(entries, scores):
+            e.pop("data", None)
+            e["metrics"] = MetricResult(**{k: s.get(k) for k in wanted})
+            e["scored"] = True
+            e["decode_ms"] = per_cell_ms
+        return entries
 
     def _stage_codec_device(
         self, name: str, image: ImageData, codec: _CodecEntry

@@ -121,6 +121,47 @@ def test_score_jpeg_files_mixed_configs():
         assert abs(s["ssimulacra2"] - direct) < 0.6, (s, direct)
 
 
+def test_session_jpeg_bytes_fast_path(tmp_path):
+    """Adapter-registered JPEG codecs route through the device decode:
+    identical byte sizes to the callback path, scores within the
+    inter-decoder tolerance, counter incremented; callback-registered
+    codecs never qualify."""
+    from codec_eval_tpu.codecs.pil_codecs import JpegCodec
+    from codec_eval_tpu.engine.image import ImageData
+    from codec_eval_tpu.engine.session import EvalConfig, EvalSession
+    from codec_eval_tpu.metrics import MetricConfig
+
+    qualities = [55.0, 90.0]
+
+    def make(report_sub):
+        return EvalSession(
+            EvalConfig.builder()
+            .report_dir(str(tmp_path / report_sub))
+            .metrics(MetricConfig.all())
+            .quality_levels(qualities)
+            .build()
+        )
+
+    codec = JpegCodec()
+    fast = make("fast")
+    fast.add_codec_impl(codec)
+    slow = make("slow")
+    slow.add_codec_with_decode(
+        codec.id(), codec.version(), codec.encode_fn(), codec.decode_fn()
+    )
+    rf = fast.evaluate_image("img", ImageData.rgb8(IMG))
+    rs = slow.evaluate_image("img", ImageData.rgb8(IMG))
+    assert fast.jpeg_device_decodes_run == 1
+    assert slow.jpeg_device_decodes_run == 0
+    for a, b in zip(rf.results, rs.results):
+        assert a.file_size == b.file_size
+        assert a.metrics.ssimulacra2 == pytest.approx(
+            b.metrics.ssimulacra2, abs=0.6
+        )
+        assert a.metrics.psnr == pytest.approx(b.metrics.psnr, abs=1.0)
+        assert a.perception is not None
+
+
 def test_unsupported_and_corrupt_streams():
     from codec_eval_tpu.errors import UnsupportedFormat
 
