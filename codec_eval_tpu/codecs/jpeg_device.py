@@ -93,7 +93,11 @@ def score_jpeg_files(
     """
     import jax.numpy as jnp
 
-    from ..engine.scoring import _build_chunk_scorer, _build_precompute
+    from ..engine.scoring import (
+        _build_chunk_scorer,
+        _build_precompute,
+        fetch_scores,
+    )
     from ..kernels.jpeg_enc import build_jpeg_decode
 
     h, w = ref_u8.shape[:2]
@@ -147,7 +151,7 @@ def score_jpeg_files(
             want["dssim"], want["ssimulacra2"], want["butteraugli"],
             want["psnr"], planar=True,
         )
-        scores = {k: np.asarray(v) for k, v in scorer(pre, batch).items()}
+        scores = fetch_scores(scorer(pre, batch))
         for j, i in enumerate(idxs):
             out[i] = {k: float(v[j]) for k, v in scores.items()}
     return out  # type: ignore[return-value]

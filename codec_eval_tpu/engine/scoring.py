@@ -251,6 +251,21 @@ def _build_sweep_scorer(
     return jax.jit(score)
 
 
+def fetch_scores(scores: Dict[str, "jnp.ndarray"]) -> Dict[str, np.ndarray]:
+    """Materialize a chunk scorer's {metric: device array} output with ONE
+    device->host fetch: the per-metric arrays are stacked on device (a
+    trivial dispatch) and transferred together.  On a remote runtime each
+    separate np.asarray pays a full round trip (~25 ms here), which for a
+    4-metric ladder was costing more than the scoring itself."""
+    if not scores:
+        return {}
+    keys = sorted(scores)
+    if len(keys) == 1:
+        return {keys[0]: np.asarray(scores[keys[0]])}
+    stacked = np.asarray(jnp.stack([scores[k] for k in keys]))
+    return {k: stacked[i] for i, k in enumerate(keys)}
+
+
 class BatchScorer:
     """Scores batches of decoded candidates against a reference image.
 
@@ -308,7 +323,10 @@ class BatchScorer:
             h, w, padded_n, c.dssim, c.ssimulacra2, c.butteraugli, c.psnr
         )
         raw = scorer(self._precomputed(reference_u8), jnp.asarray(candidates_u8))
-        raw = {k: np.asarray(v, dtype=np.float64) for k, v in raw.items()}
+        raw = {
+            k: v.astype(np.float64)
+            for k, v in fetch_scores(raw).items()
+        }
 
         results = []
         for i in range(n):

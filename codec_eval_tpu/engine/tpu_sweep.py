@@ -170,7 +170,9 @@ def evaluate_tpujpeg_sweep(
         if return_bytes:
             blobs = list(datas)
 
-    host_scores = {k: np.asarray(v) for k, v in scores.items()}
+    from .scoring import fetch_scores
+
+    host_scores = fetch_scores(scores)
     points = []
     for qi, q in enumerate(qualities):
         row = {k: float(v[qi]) for k, v in host_scores.items()}

@@ -78,7 +78,11 @@ def sweep_corpus_ladders(
     from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..engine.scoring import _build_chunk_scorer, _build_precompute
+    from ..engine.scoring import (
+        _build_chunk_scorer,
+        _build_precompute,
+        fetch_scores as _fetch_scores,
+    )
     from ..engine.tpu_sweep import _qtabs_for
     from ..kernels import jpeg_enc as _je
     from ..kernels import jpeg_rate as _jr
@@ -177,7 +181,7 @@ def sweep_corpus_ladders(
         while len(chunk) < chunk_n:
             chunk.append(chunk[-1])
         scores, coefs = step(jnp.asarray(np.stack(chunk)))
-        host_scores = {k: np.asarray(v) for k, v in scores.items()}
+        host_scores = _fetch_scores(scores)
         for k, v in host_scores.items():
             all_scores.setdefault(k, []).append(v[:real])
         if size_mode == "device":
