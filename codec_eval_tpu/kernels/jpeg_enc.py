@@ -631,8 +631,12 @@ def build_jpeg_decode(
 
     reference: the reference decodes entirely on host
     (src/decode.rs:41-98 and every codec adapter's decode_fn).
+
+    subsampling "400" decodes grayscale streams: the chroma arguments are
+    accepted (shape-stable dummies) but unused, and the luma replicates
+    into all three channels — the reference's L8 policy (decode.rs:60-66).
     """
-    if subsampling not in ("420", "444", "422", "440"):
+    if subsampling not in ("420", "444", "422", "440", "400"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     wmat = jnp.asarray(_zigzag_dct_matrix())
 
@@ -646,6 +650,12 @@ def build_jpeg_decode(
 
     def decode(cy, ccb, ccr, ql_zz, qc_zz):
         y = rp(cy, ql_zz)
+        if subsampling == "400":
+            g = jnp.clip(jnp.round(y), 0.0, 255.0).astype(jnp.uint8)
+            rgb = jnp.stack([g, g, g], axis=0 if planar else -1)
+            return (
+                rgb[:, :height, :width] if planar else rgb[:height, :width, :]
+            )
         cb = rp(ccb, qc_zz)
         cr = rp(ccr, qc_zz)
         if subsampling in ("420", "422"):

@@ -328,14 +328,14 @@ def jpeg_parse_coefficients(data: bytes) -> dict:
     spectral selection + successive approximation), 3-component 8-bit
     Huffman streams with restart markers.
 
-    Returns {"width", "height", "subsampling" ("444"/"420"/"422"/"440"),
+    Returns {"width", "height", "subsampling" ("444"/"420"/"422"/"440",
+    or "400" for grayscale — chroma planes are then 1x1 dummies),
     "progressive" bool, "adobe_transform" (None or int),
     "y"/"cb"/"cr": (by, bx, 64) int16 zigzag on the padded MCU grid,
     "qtab_luma_zz"/"qtab_chroma_zz": uint16[64]}.
 
     Raises UnsupportedFormat for streams outside that envelope (CMYK,
-    grayscale, 12-bit, arithmetic, hierarchical), ValueError on corrupt
-    data.
+    12-bit, arithmetic, hierarchical), ValueError on corrupt data.
     """
     from ..errors import UnsupportedFormat
 
@@ -360,17 +360,26 @@ def jpeg_parse_coefficients(data: bytes) -> dict:
     w, h = int(hdr[0]), int(hdr[1])
     by_y, bx_y, by_c, bx_c = (int(x) for x in hdr[5:9])
     sh, sv = int(hdr[3]), int(hdr[4])
-    sub = {(1, 1): "444", (2, 2): "420", (2, 1): "422", (1, 2): "440"}[
-        (sh, sv)
-    ]
+    gray = int(hdr[2]) == 1
+    sub = (
+        "400"
+        if gray
+        else {(1, 1): "444", (2, 2): "420", (2, 1): "422", (1, 2): "440"}[
+            (sh, sv)
+        ]
+    )
     y = np.zeros((by_y, bx_y, 64), dtype=np.int16)
-    cb = np.zeros((by_c, bx_c, 64), dtype=np.int16)
-    cr = np.zeros((by_c, bx_c, 64), dtype=np.int16)
+    # Grayscale streams have no chroma planes; shape-stable dummies keep
+    # the device decode signature uniform.
+    cb = np.zeros((max(by_c, 1), max(bx_c, 1), 64), dtype=np.int16)
+    cr = np.zeros((max(by_c, 1), max(bx_c, 1), 64), dtype=np.int16)
     ql = np.zeros(64, dtype=np.uint16)
     qc = np.zeros(64, dtype=np.uint16)
     rc = lib.ce_jpeg_parse(
         buf.ctypes.data, buf.nbytes, hdr.ctypes.data,
-        y.ctypes.data, cb.ctypes.data, cr.ctypes.data,
+        y.ctypes.data,
+        None if gray else cb.ctypes.data,
+        None if gray else cr.ctypes.data,
         ql.ctypes.data, qc.ctypes.data,
     )
     if rc != 0:

@@ -198,7 +198,7 @@ struct Decoder {
                     height = u16();
                     width = u16();
                     ncomp = u8();
-                    if (prec != 8 || ncomp != 3) return false;
+                    if (prec != 8 || (ncomp != 3 && ncomp != 1)) return false;
                     for (int c = 0; c < ncomp; ++c) {
                         comps[c].id = u8();
                         int hv = u8();
@@ -209,9 +209,13 @@ struct Decoder {
                             comps[c].v < 1 || comps[c].v > 2)
                             return false;
                     }
-                    // chroma must share sampling; luma is component 0
-                    if (comps[1].h != comps[2].h || comps[1].v != comps[2].v ||
-                        comps[1].h != 1 || comps[1].v != 1)
+                    if (ncomp == 1) {
+                        // grayscale: a single non-subsampled component
+                        comps[0].h = comps[0].v = 1;
+                    } else if (comps[1].h != comps[2].h ||
+                               comps[1].v != comps[2].v ||
+                               comps[1].h != 1 || comps[1].v != 1)
+                        // chroma must share sampling; luma is component 0
                         return false;
                     hmax = comps[0].h;
                     vmax = comps[0].v;
@@ -551,14 +555,19 @@ int64_t ce_jpeg_parse(
     hdr[9] = d.progressive ? 1 : 0;
     hdr[10] = uint32_t(d.adobe_transform + 1);
     hdr[11] = d.restart_interval;
-    if (!y_out || !cb_out || !cr_out) return 0;  // header-only call
+    bool gray = d.ncomp == 1;
+    if (gray) hdr[7] = hdr[8] = 0;  // no chroma planes
+    if (!y_out || (!gray && (!cb_out || !cr_out)))
+        return y_out ? -1 : 0;  // header-only call needs no buffers
 
     d.comps[0].coef = y_out;
-    d.comps[1].coef = cb_out;
-    d.comps[2].coef = cr_out;
     std::memset(y_out, 0, size_t(d.comps[0].by) * d.comps[0].bx * 64 * 2);
-    std::memset(cb_out, 0, size_t(d.comps[1].by) * d.comps[1].bx * 64 * 2);
-    std::memset(cr_out, 0, size_t(d.comps[2].by) * d.comps[2].bx * 64 * 2);
+    if (!gray) {
+        d.comps[1].coef = cb_out;
+        d.comps[2].coef = cr_out;
+        std::memset(cb_out, 0, size_t(d.comps[1].by) * d.comps[1].bx * 64 * 2);
+        std::memset(cr_out, 0, size_t(d.comps[2].by) * d.comps[2].bx * 64 * 2);
+    }
 
     // First SOS is already positioned (pos at the scan header's length
     // field); decode it, then walk markers: DHT/DQT/DRI segments may
@@ -611,7 +620,8 @@ int64_t ce_jpeg_parse(
     if (qtab_luma_zz)
         std::memcpy(qtab_luma_zz, d.qtab[d.comps[0].tq], 64 * 2);
     if (qtab_chroma_zz)
-        std::memcpy(qtab_chroma_zz, d.qtab[d.comps[1].tq], 64 * 2);
+        std::memcpy(
+            qtab_chroma_zz, d.qtab[d.comps[gray ? 0 : 1].tq], 64 * 2);
     return 0;
 }
 

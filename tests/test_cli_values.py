@@ -163,7 +163,15 @@ def test_codec_compare_csv_matches_direct_kernel(corpus, tmp_path):
     Image.fromarray(ref).save(
         buf, "JPEG", quality=85, subsampling=2, progressive=True, optimize=True
     )
-    dec = np.asarray(Image.open(_io.BytesIO(buf.getvalue())).convert("RGB"))
+    # Decode through the same path the session uses: the device JPEG
+    # decode when the native parser is built, PIL otherwise (the two
+    # differ by ~0.7 u8 RMS — inter-decoder tolerance).
+    from codec_eval_tpu.codecs import jpeg_device
+
+    if jpeg_device.is_available():
+        dec = jpeg_device.decode_jpeg_device(buf.getvalue())
+    else:
+        dec = np.asarray(Image.open(_io.BytesIO(buf.getvalue())).convert("RGB"))
     want_s2 = float(ssimulacra2(jnp.asarray(ref), jnp.asarray(dec)))
     # CSV renders ssimulacra2 at 2 decimals (the reference's {:.2} schema,
     # src/eval/session.rs:552-578): tolerance = quantization step + epsilon.

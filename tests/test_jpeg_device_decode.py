@@ -121,6 +121,25 @@ def test_score_jpeg_files_mixed_configs():
         assert abs(s["ssimulacra2"] - direct) < 0.6, (s, direct)
 
 
+@pytest.mark.parametrize("progressive", [False, True])
+def test_grayscale_device_decode(progressive):
+    """Grayscale (single-component, '400') streams decode on device with
+    luma replicated to RGB — the reference's L8 policy (decode.rs:60-66)."""
+    gray = np.asarray(Image.fromarray(IMG).convert("L"))
+    buf = io.BytesIO()
+    Image.fromarray(gray).save(buf, "JPEG", quality=80, progressive=progressive)
+    data = buf.getvalue()
+    p = jpeg_device.parse_jpeg(data)
+    assert p["subsampling"] == "400"
+    dec = jpeg_device.decode_jpeg_device(data)
+    assert (dec[..., 0] == dec[..., 1]).all() and (dec[..., 1] == dec[..., 2]).all()
+    pil = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    rms = float(
+        np.sqrt(np.mean((dec.astype(np.float64) - pil.astype(np.float64)) ** 2))
+    )
+    assert rms < 1.1, rms
+
+
 def test_session_jpeg_bytes_fast_path(tmp_path):
     """Adapter-registered JPEG codecs route through the device decode:
     identical byte sizes to the callback path, scores within the
