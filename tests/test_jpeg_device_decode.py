@@ -184,9 +184,6 @@ def test_session_jpeg_bytes_fast_path(tmp_path):
 def test_unsupported_and_corrupt_streams():
     from codec_eval_tpu.errors import UnsupportedFormat
 
-    gray = _pil_bytes(np.asarray(Image.fromarray(IMG).convert("L")))
-    with pytest.raises(UnsupportedFormat):
-        jpeg_device.parse_jpeg(gray)
     cmyk = io.BytesIO()
     Image.fromarray(IMG).convert("CMYK").save(cmyk, "JPEG")
     with pytest.raises(UnsupportedFormat):
