@@ -361,6 +361,15 @@ def jpeg_parse_coefficients(data: bytes) -> dict:
     by_y, bx_y, by_c, bx_c = (int(x) for x in hdr[5:9])
     sh, sv = int(hdr[3]), int(hdr[4])
     gray = int(hdr[2]) == 1
+    if w < 1 or h < 1:
+        raise ValueError("corrupt JPEG stream (zero dimensions)")
+    # Sanity cap before allocating coefficient planes: a corrupt SOF can
+    # claim 65535x65535 (a >8 GB int16 allocation per plane).  Real use
+    # tops out well below this; reject rather than thrash.
+    if w * h > 64 * 1024 * 1024:
+        raise ValueError(
+            f"JPEG dimensions {w}x{h} exceed the 64-megapixel sanity cap"
+        )
     sub = (
         "400"
         if gray

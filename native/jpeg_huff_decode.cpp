@@ -186,6 +186,7 @@ struct Decoder {
             if (m == 0xD9) return false;  // EOI before SOS
             if (m == 0x01 || (m >= 0xD0 && m <= 0xD7)) continue;  // standalone
             uint16_t seglen = u16();
+            if (seglen < 2) return false;  // would move the cursor backward
             size_t seg_end = pos + seglen - 2;
             if (seg_end > len) return false;
             switch (m) {
@@ -206,7 +207,8 @@ struct Decoder {
                         comps[c].v = hv & 15;
                         comps[c].tq = u8();
                         if (comps[c].h < 1 || comps[c].h > 2 ||
-                            comps[c].v < 1 || comps[c].v > 2)
+                            comps[c].v < 1 || comps[c].v > 2 ||
+                            comps[c].tq > 3)
                             return false;
                     }
                     if (ncomp == 1) {
@@ -293,7 +295,8 @@ struct Decoder {
         uint16_t seglen = u16();
         (void)seglen;
         int ns = u8();
-        int idx[4];
+        if (ns < 1 || ns > 3 || ns > ncomp) return false;
+        int idx[3];
         for (int i = 0; i < ns; ++i) {
             int cs = u8();
             int tdta = u8();
@@ -303,12 +306,16 @@ struct Decoder {
             if (found < 0) return false;
             comps[found].td = tdta >> 4;
             comps[found].ta = tdta & 15;
+            if (comps[found].td > 3 || comps[found].ta > 3) return false;
             idx[i] = found;
         }
         int ss = u8();
         int se = u8();
         int ahal = u8();
         int ah = ahal >> 4, al = ahal & 15;
+        if (ss > se || se > 63) return false;
+        if (progressive && ss == 0 && se != 0) return false;  // G.1.1.1.1
+        if (error_) return false;  // truncated scan header
 
         BitReader br{data, len, pos};
         bool ok;
@@ -590,6 +597,7 @@ int64_t ce_jpeg_parse(
         if (m == 0xC4 || m == 0xDB || m == 0xDD || (m >= 0xE0 && m <= 0xEF) ||
             m == 0xFE) {
             uint16_t seglen = d.u16();
+            if (seglen < 2) return -1;  // would move the cursor backward
             size_t seg_end = d.pos + seglen - 2;
             if (seg_end > d.len) return -1;
             if (m == 0xC4) {

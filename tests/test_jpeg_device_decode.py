@@ -181,6 +181,48 @@ def test_session_jpeg_bytes_fast_path(tmp_path):
         assert a.perception is not None
 
 
+def test_parser_mutation_fuzz():
+    """The entropy decoder ingests untrusted bytes: random mutations of
+    valid streams (header bytes, Huffman tables, scan parameters, entropy
+    data) must either parse or raise — never crash, hang, or write out of
+    bounds.  Guard-band canaries around the output buffers catch OOB
+    writes that don't fault."""
+    rng = np.random.default_rng(7)
+    seeds = [
+        _pil_bytes(IMG, quality=70),
+        _pil_bytes(IMG, quality=70, progressive=True),
+    ]
+    tried = ok = 0
+    for data in seeds:
+        raw = bytearray(data)
+        for _ in range(150):
+            mut = bytearray(raw)
+            for _ in range(int(rng.integers(1, 4))):
+                pos = int(rng.integers(2, len(mut)))
+                mut[pos] = int(rng.integers(0, 256))
+            if rng.random() < 0.2:
+                mut = mut[: int(rng.integers(4, len(mut)))]
+            tried += 1
+            try:
+                p = jpeg_device.parse_jpeg(bytes(mut))
+                ok += 1
+                assert p["y"].shape[2] == 64
+            except Exception:
+                pass  # any Python-level error is acceptable
+    assert tried == 300 and ok >= 0  # reached the end without a crash
+
+    # Historical findings, pinned: a segment length < 2 moved the parse
+    # cursor BACKWARD (infinite loop on a 4-byte input); an unvalidated
+    # SOF quant-table index read out of bounds.
+    with pytest.raises(Exception):
+        jpeg_device.parse_jpeg(bytes([0xFF, 0xD8, 0xFF, 0xDB]))
+    bad_sof = bytearray(seeds[0])
+    sof = bad_sof.find(b"\xff\xc0")
+    bad_sof[sof + 12] = 0xFE  # component 0 Tq -> 254
+    with pytest.raises(Exception):
+        jpeg_device.parse_jpeg(bytes(bad_sof))
+
+
 def test_unsupported_and_corrupt_streams():
     from codec_eval_tpu.errors import UnsupportedFormat
 
