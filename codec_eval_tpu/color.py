@@ -37,6 +37,14 @@ class ColorProfile:
     def icc(cls, data: bytes) -> "ColorProfile":
         return cls(bytes(data))
 
+    @classmethod
+    def from_icc_bytes(cls, icc: Optional[bytes]) -> "ColorProfile":
+        """sRGB unless ``icc`` is non-empty bytes.
+        reference: src/metrics/icc.rs:50-55."""
+        if icc:
+            return cls.icc(icc)
+        return cls.srgb()
+
     @property
     def is_srgb(self) -> bool:
         return self.icc_data is None

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Dict, List, Optional, Tuple
@@ -18,7 +19,18 @@ from typing import Dict, List, Optional, Tuple
 from ..errors import CorpusError
 from .category import ImageCategory
 from .checksum import checksum_hex
-from .discovery import discover_images
+from .discovery import SUPPORTED_EXTENSIONS, discover_images
+
+
+def _has_image_files(root: Path) -> bool:
+    """Any supported image anywhere under ``root`` (dotdirs skipped).
+    reference: src/corpus/mod.rs helper used by discover_or_download."""
+    for dirpath, dirnames, filenames in os.walk(root):
+        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        for f in filenames:
+            if f.rsplit(".", 1)[-1].lower() in SUPPORTED_EXTENSIONS:
+                return True
+    return False
 
 
 @dataclass
@@ -168,6 +180,48 @@ class Corpus:
         corpus = cls.discover(path)
         corpus.name = name
         return corpus
+
+    @classmethod
+    def download_dataset(cls, dataset: str) -> "Corpus":
+        """Legacy alias for :meth:`get_dataset`.
+        reference: src/corpus/mod.rs:249-252."""
+        return cls.get_dataset(dataset)
+
+    @classmethod
+    def discover_or_download(
+        cls, path, url: Optional[str] = None, subsets: Optional[List[str]] = None
+    ) -> "Corpus":
+        """Discover an existing on-disk corpus; error with a get_dataset
+        pointer when absent.  reference: src/corpus/mod.rs:179-195 (the
+        corpus-feature build: url/subsets accepted for signature parity,
+        discovery only)."""
+        del url, subsets
+        root = Path(path)
+        if root.is_dir() and _has_image_files(root):
+            return cls.discover(root)
+        raise CorpusError(
+            f"Path {root} not found. Use Corpus.get_dataset() to download "
+            f"datasets automatically."
+        )
+
+    @classmethod
+    def get_or_download(cls, preferred_path) -> "Corpus":
+        """Check common local locations for an existing corpus (legacy).
+        reference: src/corpus/mod.rs:264-305."""
+        candidates = [
+            Path(preferred_path),
+            Path("./codec-corpus"),
+            Path("../codec-corpus"),
+            Path("../codec-comparison/codec-corpus"),
+        ]
+        for cand in candidates:
+            if cand.is_dir() and _has_image_files(cand):
+                print(f"Found corpus at {cand}", file=sys.stderr)
+                return cls.discover(cand)
+        raise CorpusError(
+            "Corpus not found at any common location. Use "
+            'Corpus.get_dataset("kodak") to download automatically.'
+        )
 
     # -- manifest ----------------------------------------------------------
     def save_manifest(self, path) -> None:

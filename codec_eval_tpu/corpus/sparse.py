@@ -96,6 +96,15 @@ class SparseStatus:
     checked_out_files: int
     total_files: Optional[int]
 
+    def percentage(self) -> Optional[float]:
+        """Checked-out files as a percentage of the total (None when the
+        total is unknown).  reference: src/corpus/sparse.rs:317-325."""
+        if self.total_files is None:
+            return None
+        if self.total_files == 0:
+            return 100.0
+        return (self.checked_out_files / self.total_files) * 100.0
+
 
 class SparseCheckout:
     """Manage a blob-filtered sparse git checkout.
@@ -188,6 +197,11 @@ class SparseCheckout:
     def checkout(self, ref: Optional[str] = None) -> None:
         args = ["checkout"] if ref is None else ["checkout", ref]
         _run_git(self.repo_path, args)
+
+    def checkout_ref(self, reference: str) -> None:
+        """Check out a specific branch/tag/commit.
+        reference: src/corpus/sparse.rs:239-242."""
+        self.checkout(reference)
 
     def fetch(self) -> None:
         _run_git(self.repo_path, ["fetch", "--filter=blob:none"])

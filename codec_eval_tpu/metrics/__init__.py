@@ -203,6 +203,8 @@ from .calculate import (  # noqa: E402,F401
     calculate_psnr,
     calculate_ssimulacra2,
     calculate_ssimulacra2_icc,
+    rgb8_to_dssim_image,
+    rgba8_to_dssim_image,
 )
 
 __all__ += [
@@ -214,4 +216,6 @@ __all__ += [
     "calculate_psnr",
     "calculate_ssimulacra2",
     "calculate_ssimulacra2_icc",
+    "rgb8_to_dssim_image",
+    "rgba8_to_dssim_image",
 ]

@@ -150,9 +150,35 @@ def calculate_butteraugli_icc(
     return calculate_butteraugli(ref, tst)
 
 
+def rgb8_to_dssim_image(data, width: int, height: int) -> np.ndarray:
+    """sRGB u8 RGB -> linear-light RGBA f32 (alpha=1), the pixel format
+    dssim-core consumes.  reference: src/metrics/dssim.rs:102-115."""
+    from ..utils.native import srgb_to_linear_host
+
+    rgb = np.asarray(data, dtype=np.uint8).reshape(height, width, 3)
+    out = np.empty((height, width, 4), np.float32)
+    out[..., :3] = srgb_to_linear_host(rgb)
+    out[..., 3] = 1.0
+    return out
+
+
+def rgba8_to_dssim_image(data, width: int, height: int) -> np.ndarray:
+    """sRGB u8 RGBA -> linear-light RGBA f32 (alpha scaled 0-1 linearly).
+    reference: src/metrics/dssim.rs:131-148."""
+    from ..utils.native import srgb_to_linear_host
+
+    rgba = np.asarray(data, dtype=np.uint8).reshape(height, width, 4)
+    out = np.empty((height, width, 4), np.float32)
+    out[..., :3] = srgb_to_linear_host(rgba[..., :3])
+    out[..., 3] = rgba[..., 3].astype(np.float32) / 255.0
+    return out
+
+
 __all__ = [
     "calculate_ssimulacra2",
     "calculate_dssim",
+    "rgb8_to_dssim_image",
+    "rgba8_to_dssim_image",
     "calculate_butteraugli",
     "calculate_butteraugli_with_intensity",
     "calculate_psnr",

@@ -236,6 +236,44 @@ class BinScheme:
 # ---------------------------------------------------------------------------
 
 
+@dataclass(frozen=True)
+class ParamValue:
+    """A single typed tuning-parameter value (int / float / bool / text),
+    formatted the way the reference's Display impl does (bools as
+    ``true``/``false``, floats without a trailing ``.0``).
+    reference: src/stats/rd_knee.rs:420-437."""
+
+    value: object
+
+    @classmethod
+    def int(cls, v: int) -> "ParamValue":
+        return cls(int(v))
+
+    @classmethod
+    def float(cls, v: float) -> "ParamValue":
+        return cls(float(v))
+
+    @classmethod
+    def bool(cls, v: bool) -> "ParamValue":
+        return cls(bool(v))
+
+    @classmethod
+    def text(cls, v: str) -> "ParamValue":
+        return cls(str(v))
+
+    def __str__(self) -> str:
+        v = self.value
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            # Rust's {} for f64 drops a redundant fractional part: 1.0 -> "1".
+            return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+        return str(v)
+
+    def to_json(self):
+        return self.value
+
+
 @dataclass
 class CodecConfig:
     """The tuning knobs that produced an encode (sorted param map +
@@ -251,6 +289,8 @@ class CodecConfig:
 
     def fingerprint(self) -> str:
         def fmt(v):
+            if isinstance(v, ParamValue):
+                return str(v)
             if isinstance(v, bool):
                 return "true" if v else "false"
             return str(v)

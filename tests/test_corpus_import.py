@@ -295,3 +295,42 @@ def test_corpus_image_name_unique_across_subdirs():
     assert a.name() != b.name()
     assert a.name() == "photo__0001"
     assert CorpusImage(relative_path="0001.png").name() == "0001"
+
+
+def test_sparse_status_percentage():
+    """reference: src/corpus/sparse.rs:317-325."""
+    from codec_eval_tpu.corpus import SparseStatus
+
+    assert SparseStatus(True, [], 5, 10).percentage() == 50.0
+    assert SparseStatus(True, [], 0, 0).percentage() == 100.0
+    assert SparseStatus(True, [], 5, None).percentage() is None
+
+
+def test_corpus_legacy_discovery_api(tmp_path):
+    """discover_or_download / get_or_download / download_dataset parity.
+    reference: src/corpus/mod.rs:179-305."""
+    from codec_eval_tpu.corpus import Corpus
+
+    # Existing corpus directory: both legacy entry points discover it.
+    root = tmp_path / "corp"
+    (root / "photo").mkdir(parents=True)
+    import numpy as np
+    from PIL import Image
+
+    Image.fromarray(
+        np.full((8, 8, 3), 128, np.uint8)
+    ).save(root / "photo" / "a.png")
+    corpus = Corpus.discover_or_download(root)
+    assert len(corpus) == 1
+    corpus = Corpus.get_or_download(root)
+    assert len(corpus) == 1
+
+    # Missing path errors with a get_dataset pointer, like the reference.
+    with pytest.raises(CorpusError, match="get_dataset"):
+        Corpus.discover_or_download(tmp_path / "nope")
+    with pytest.raises(CorpusError, match="get_dataset"):
+        Corpus.get_or_download(tmp_path / "nope")
+
+    # download_dataset is the get_dataset alias (unknown name error path).
+    with pytest.raises(CorpusError, match="Unknown dataset"):
+        Corpus.download_dataset("definitely-not-a-dataset")

@@ -116,3 +116,24 @@ def test_butteraugli_intensity_target_plumbing():
     d80 = float(butteraugli(jnp.asarray(img), jnp.asarray(dist), intensity_target=80.0))
     d250 = float(butteraugli(jnp.asarray(img), jnp.asarray(dist), intensity_target=250.0))
     assert d80 != d250
+
+
+def test_dssim_image_helpers():
+    """rgb8/rgba8 -> linear-light RGBA f32 staging helpers
+    (reference: src/metrics/dssim.rs:102-148)."""
+    import numpy as np
+
+    from codec_eval_tpu.metrics import rgb8_to_dssim_image, rgba8_to_dssim_image
+
+    rgb = np.array([0, 128, 255, 10, 20, 30], np.uint8)
+    out = rgb8_to_dssim_image(rgb, 2, 1)
+    assert out.shape == (1, 2, 4) and out.dtype == np.float32
+    s = 128 / 255.0
+    assert out[0, 0, 1] == pytest.approx(((s + 0.055) / 1.055) ** 2.4, abs=1e-5)
+    assert out[0, 0, 0] == 0.0 and out[0, 0, 2] == 1.0
+    assert np.all(out[..., 3] == 1.0)
+
+    rgba = np.array([0, 128, 255, 64, 10, 20, 30, 255], np.uint8)
+    o2 = rgba8_to_dssim_image(rgba, 2, 1)
+    assert o2[0, 0, 3] == pytest.approx(64 / 255.0)
+    assert np.allclose(o2[..., :3], out[..., :3], atol=1e-6)

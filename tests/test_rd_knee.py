@@ -144,3 +144,24 @@ def test_defaults_pinned():
     assert clic.ssimulacra2.bpp == pytest.approx(0.4623)
     assert clic.butteraugli.bpp == pytest.approx(0.3948)
     assert clic.image_count == 32
+
+
+def test_param_value_display_and_fingerprint():
+    """ParamValue formats like the reference's Display impl
+    (reference: src/stats/rd_knee.rs:420-471)."""
+    from codec_eval_tpu.stats import CodecConfig, ParamValue
+
+    assert str(ParamValue.int(6)) == "6"
+    assert str(ParamValue.float(1.0)) == "1"
+    assert str(ParamValue.float(0.125)) == "0.125"
+    assert str(ParamValue.bool(True)) == "true"
+    assert str(ParamValue.bool(False)) == "false"
+    assert str(ParamValue.text("qm")) == "qm"
+    assert ParamValue.int(6).to_json() == 6
+
+    cfg = (
+        CodecConfig("ravif", "0.11")
+        .with_param("speed", ParamValue.int(6))
+        .with_param("qm", ParamValue.bool(True))
+    )
+    assert cfg.fingerprint() == "ravif@0.11 [qm=true, speed=6]"

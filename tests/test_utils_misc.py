@@ -121,3 +121,12 @@ def test_decode_grayscale_jpeg():
     assert rgb.shape == (16, 16, 3)
     # Grayscale expands to identical channels.
     assert np.array_equal(rgb[..., 0], rgb[..., 1])
+
+
+def test_color_profile_from_icc_bytes():
+    """reference: src/metrics/icc.rs:50-55 and its tests at :149-163."""
+    from codec_eval_tpu.color import ColorProfile
+
+    assert ColorProfile.from_icc_bytes(None).is_srgb
+    assert ColorProfile.from_icc_bytes(b"").is_srgb
+    assert not ColorProfile.from_icc_bytes(b"\x01\x02\x03\x04").is_srgb
