@@ -72,7 +72,7 @@ def _extract(archive: Path, dest: Path) -> None:
             target = (dest / member.name).resolve()
             if not str(target).startswith(str(dest.resolve())):
                 raise CorpusError(f"archive path escapes cache: {member.name}")
-        t.extractall(dest)
+        t.extractall(dest, filter="data")
 
 
 def fetch_dataset(

@@ -75,7 +75,15 @@ def sweep_corpus_ladders(
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _shard_map  # jax >= 0.8
+
+        def shard_map(f, **kw):  # check_rep was renamed check_vma
+            kw["check_vma"] = kw.pop("check_rep", True)
+            return _shard_map(f, **kw)
+
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..engine.scoring import (
