@@ -13,10 +13,11 @@ planar (3, H, W) u8 array the chunk scorer consumes directly, and
 `score_jpeg_files` scores a list of same-shape .jpg candidates against a
 reference without any decoded pixels visiting host RAM.
 
-Supported envelope: 8-bit, 3-component Huffman JPEG (baseline SOF0/SOF1
-and progressive SOF2 with spectral selection + successive approximation),
-chroma sampling 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0, restart markers, JFIF or
-Adobe APP14 containers (transform 0 = passthrough: the tpujpeg XYB opsin
+Supported envelope: 8-bit Huffman JPEG, 3-component (chroma sampling
+4:4:4 / 4:2:0 / 4:2:2 / 4:4:0) or 1-component grayscale (4:0:0, luma
+replicated to RGB), baseline SOF0/SOF1 and progressive SOF2 with spectral
+selection + successive approximation, restart markers, JFIF or Adobe
+APP14 containers (transform 0 = passthrough: the tpujpeg XYB opsin
 container decodes through the same path).  Everything else raises
 UnsupportedFormat — callers fall back to their host decoder.
 """

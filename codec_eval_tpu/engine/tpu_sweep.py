@@ -250,40 +250,55 @@ def encode_to_target(
         trellis_lambda=trellis_lambda,
     )
 
-    def ok(p: TpuSweepPoint) -> bool:
+    def ok_perceptual(p: TpuSweepPoint) -> bool:
         if min_ssimulacra2 is not None and p.metrics["ssimulacra2"] < min_ssimulacra2:
             return False
         if max_butteraugli is not None and p.metrics["butteraugli"] > max_butteraugli:
             return False
         if max_dssim is not None and p.metrics["dssim"] > max_dssim:
             return False
-        if max_bits_per_pixel is not None and p.bits_per_pixel > max_bits_per_pixel:
-            return False
         return True
 
     # Quality is the rate knob: the lowest admissible grid point is the
     # smallest file.  (Scores are not perfectly monotone in q, so scan
-    # rather than bisect — the grid is already scored.)
-    chosen = next((p for p in points if ok(p)), None)
+    # rather than bisect — the grid is already scored.)  Device byte sizes
+    # are estimates (±0.15%, pinned ±0.4%): admit bpp-marginal points here
+    # and settle against the exact entropy-coded size below.
+    _BPP_EST_MARGIN = 1.004
+    chosen = next(
+        (
+            p
+            for p in points
+            if ok_perceptual(p)
+            and (
+                max_bits_per_pixel is None
+                or p.bits_per_pixel <= max_bits_per_pixel * _BPP_EST_MARGIN
+            )
+        ),
+        None,
+    )
     if chosen is None:
-        # Report against the binding perceptual constraint (the highest
-        # quality's score is the best the grid can do).
+        # Name the constraint that actually binds.  The highest quality's
+        # scores are the best the grid can do: a perceptual floor it still
+        # misses is infeasible outright; otherwise the floors are reachable
+        # and the bpp ceiling is what excludes every admissible point.
         top = points[-1]
-        if min_ssimulacra2 is not None:
+        if min_ssimulacra2 is not None and top.metrics["ssimulacra2"] < min_ssimulacra2:
             raise QualityBelowThreshold(
                 "SSIMULACRA2", top.metrics["ssimulacra2"], min_ssimulacra2
             )
-        if max_butteraugli is not None:
+        if max_butteraugli is not None and top.metrics["butteraugli"] > max_butteraugli:
             raise QualityBelowThreshold(
                 "Butteraugli", top.metrics["butteraugli"], max_butteraugli
             )
-        if max_dssim is not None:
+        if max_dssim is not None and top.metrics["dssim"] > max_dssim:
             raise QualityBelowThreshold(
                 "DSSIM", top.metrics["dssim"], max_dssim
             )
+        admissible = [p for p in points if ok_perceptual(p)] or points
         raise QualityBelowThreshold(
             "bits_per_pixel",
-            min(p.bits_per_pixel for p in points),
+            min(p.bits_per_pixel for p in admissible),
             max_bits_per_pixel,
         )
 
@@ -300,6 +315,13 @@ def encode_to_target(
         return_bytes=True,
         trellis_lambda=trellis_lambda,
     )[0]
+    # Settle the rate cap against the exact size.  Exact sizes grow with
+    # quality, so if the smallest admissible point busts the ceiling every
+    # higher point does too — the cap is genuinely infeasible on this grid.
+    if max_bits_per_pixel is not None and exact.bits_per_pixel > max_bits_per_pixel:
+        raise QualityBelowThreshold(
+            "bits_per_pixel", exact.bits_per_pixel, max_bits_per_pixel
+        )
     # Keep the already-computed grid scores (identical program) but the
     # exact size/bytes.
     return TpuSweepPoint(

@@ -44,11 +44,17 @@ from typing import Dict, Tuple
 import numpy as np
 
 __all__ = [
+    "PACKED_STATS_WIDTH",
+    "PACKED_STATS_WIDTH_PROGRESSIVE",
     "build_rate_stats",
     "build_ladder_rate_stats",
+    "build_progressive_ladder_rate_stats",
     "t81_code_sizes",
     "scan_bits_from_hists",
     "baseline_size_estimate",
+    "progressive_size_estimate",
+    "progressive_size_estimates_from_packed",
+    "size_estimates_from_packed",
 ]
 
 
@@ -81,31 +87,40 @@ def _dc_hist(dc_plane, sv: int, sh: int):
     return jnp.sum(oh.astype(jnp.float32), axis=0)  # (16,)
 
 
-def _ac_hist(coefs_zz):
-    """256-bin histogram of baseline AC (run<<4 | size) symbols, including
-    ZRL (0xF0) and EOB (0x00), over all blocks of one plane.
+def _run_size_hist(band_abs, lo_pos: int, hi_pos: int):
+    """256-bin (run<<4 | size) histogram + ZRL count for one coefficient
+    band occupying zigzag positions [lo_pos, hi_pos] of each block, with
+    run lengths counted from position lo_pos - 1.
 
     Run lengths come from a cumulative max of nonzero positions along the
     zigzag axis; the histogram itself is a (16, N) @ (N, 16) bf16 one-hot
     matmul (run nibble x size nibble), exact 0/1 products accumulated in
-    f32 (counts stay far below 2^24).
+    f32.  Shared by the baseline scan (_ac_hist: band 1..63) and the
+    progressive band scans (_ac_band_stats).  Returns (hist (256,), nz).
     """
     import jax
     import jax.numpy as jnp
 
-    q = jnp.abs(coefs_zz.reshape(-1, 64).astype(jnp.int32))
-    n = q.shape[0]
-    ac = q[:, 1:]                                     # (N, 63)
-    nz = ac > 0
-    pos = jnp.arange(1, 64, dtype=jnp.int32)
-    marked = jnp.where(nz, pos[None, :], 0)
+    n = band_abs.shape[0]
+    length = hi_pos - lo_pos + 1
+    # f32 accumulation is integer-exact only below 2^24 per bin; a bin's
+    # count is bounded by the band position total.  512px ladders sit ~60x
+    # under this; a >16 MP plane must be tiled before rate accounting.
+    if n * length >= (1 << 24):
+        raise ValueError(
+            f"rate-statistics plane too large for exact f32 counts "
+            f"({n} blocks x {length} positions >= 2^24); tile the image"
+        )
+    nz = band_abs > 0
+    pos = jnp.arange(lo_pos, hi_pos + 1, dtype=jnp.int32)
+    marked = jnp.where(nz, pos[None, :], lo_pos - 1)
     prev_inc = jax.lax.cummax(marked, axis=1)
     prev = jnp.concatenate(
-        [jnp.zeros((n, 1), jnp.int32), prev_inc[:, :-1]], axis=1
+        [jnp.full((n, 1), lo_pos - 1, jnp.int32), prev_inc[:, :-1]], axis=1
     )
     run = pos[None, :] - prev - 1                     # valid where nz
     zrl = jnp.sum(jnp.where(nz, run >> 4, 0).astype(jnp.float32))
-    sz = _category(ac)
+    sz = _category(band_abs)
     hi = jnp.where(nz, run & 15, 0)
     lo = jnp.where(nz, sz, 0)
     nib = jnp.arange(16, dtype=jnp.int32)
@@ -118,9 +133,19 @@ def _ac_hist(coefs_zz):
         preferred_element_type=jnp.float32,
     )                                                  # (16 run, 16 size)
     hist = h.reshape(256)
-    bins = jnp.arange(256)
+    return hist + (jnp.arange(256) == 0xF0) * zrl, nz
+
+
+def _ac_hist(coefs_zz):
+    """256-bin histogram of baseline AC (run<<4 | size) symbols, including
+    ZRL (0xF0) and EOB (0x00), over all blocks of one plane."""
+    import jax.numpy as jnp
+
+    q = jnp.abs(coefs_zz.reshape(-1, 64).astype(jnp.int32))
+    ac = q[:, 1:]                                     # (N, 63)
+    hist, _ = _run_size_hist(ac, 1, 63)
     eob = jnp.sum((ac[:, -1] == 0).astype(jnp.float32))
-    return hist + (bins == 0xF0) * zrl + (bins == 0x00) * eob
+    return hist + (jnp.arange(256) == 0x00) * eob
 
 
 def build_rate_stats(subsampling: str = "420"):
@@ -165,36 +190,13 @@ def _ac_band_stats(coefs_zz, ny: int, nx: int, ss: int, se: int):
     import jax.numpy as jnp
 
     q = jnp.abs(coefs_zz[:ny, :nx].reshape(-1, 64).astype(jnp.int32))
-    nblocks = q.shape[0]
     band = q[:, ss : se + 1]                      # (B, L)
-    nz = band > 0
-    has_nz = jnp.any(nz, axis=1)                  # (B,) coded blocks
 
-    # In-band (run, size) symbols — same machinery as the baseline scan,
-    # with the run base at ss-1.
-    pos = jnp.arange(ss, se + 1, dtype=jnp.int32)
-    marked = jnp.where(nz, pos[None, :], ss - 1)
-    prev_inc = jax.lax.cummax(marked, axis=1)
-    prev = jnp.concatenate(
-        [jnp.full((nblocks, 1), ss - 1, jnp.int32), prev_inc[:, :-1]], axis=1
-    )
-    run = pos[None, :] - prev - 1
-    zrl = jnp.sum(jnp.where(nz, run >> 4, 0).astype(jnp.float32))
-    sz = _category(band)
-    hi = jnp.where(nz, run & 15, 0)
-    lo = jnp.where(nz, sz, 0)
-    nib = jnp.arange(16, dtype=jnp.int32)
-    oh_hi = ((hi[..., None] == nib) & nz[..., None]).astype(jnp.bfloat16)
-    oh_lo = (lo[..., None] == nib).astype(jnp.bfloat16)
-    h = jax.lax.dot_general(
-        oh_hi.reshape(-1, 16),
-        oh_lo.reshape(-1, 16),
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    hist = h.reshape(256)
+    # In-band (run, size) symbols — the baseline-scan machinery with the
+    # run base at ss-1.
+    hist, nz = _run_size_hist(band, ss, se)
+    has_nz = jnp.any(nz, axis=1)                  # (B,) coded blocks
     bins = jnp.arange(256)
-    hist = hist + (bins == 0xF0) * zrl
 
     # EOB runs.  contribution c[b]: 1 for an all-zero band, 1 for a coded
     # block whose band ends in zeros (its trailing EOB joins the run).

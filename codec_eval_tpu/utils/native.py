@@ -353,7 +353,7 @@ def jpeg_parse_coefficients(data: bytes) -> dict:
     if rc == -2:
         raise UnsupportedFormat(
             "JPEG stream outside the supported envelope "
-            "(need 8-bit 3-component Huffman, chroma sampling 1x1)"
+            "(need 8-bit Huffman, 3-component 444/420/422/440 or grayscale)"
         )
     if rc != 0:
         raise ValueError("corrupt JPEG stream")

@@ -240,6 +240,53 @@ void put_dht(BitWriter* bw, const HuffTable& t, int tclass, int id) {
     for (int i = 0; i < n; ++i) bw->put_byte(t.huffval[i]);
 }
 
+// The progressive AC scan script (after the interleaved DC scan):
+// Y AC 1-5; Cb AC 1-63; Cr AC 1-63; Y AC 6-63 — luma low-freq first.
+// comp indexes {Y, Cb, Cr}; tab is the optimized AC table id.  Shared by
+// the encoder's stats+emit passes and the scan-stats oracle so the script
+// (and the python size model mirroring it) cannot drift between copies.
+struct ProgAcScan { int comp, ss, se, tab; };
+constexpr ProgAcScan kProgAcScans[4] = {
+    {0, 1, 5, 0}, {1, 1, 63, 1}, {2, 1, 63, 1}, {0, 6, 63, 2},
+};
+
+// SOI + container APP (JFIF or Adobe-transform-0) + the two DQTs — shared
+// by the baseline and progressive encoders so the bytes cannot drift.
+void emit_container(BitWriter* bw, int app_mode,
+                    const uint16_t* qtab_luma_zz,
+                    const uint16_t* qtab_chroma_zz) {
+    put_marker(bw, 0xD8);  // SOI
+    if (app_mode == 1) {
+        // Adobe APP14, transform 0: decoders leave the 3 channels as-is.
+        put_marker(bw, 0xEE);
+        put_u16(bw, 14);
+        const uint8_t adobe[5] = {'A', 'd', 'o', 'b', 'e'};
+        for (uint8_t b : adobe) bw->put_byte(b);
+        put_u16(bw, 100);                  // DCTEncodeVersion
+        put_u16(bw, 0);                    // flags0
+        put_u16(bw, 0);                    // flags1
+        bw->put_byte(0);                   // transform: none
+    } else {
+        // APP0 JFIF 1.1, 1:1 aspect, no thumbnail.
+        put_marker(bw, 0xE0);
+        put_u16(bw, 16);
+        const uint8_t jfif[5] = {'J', 'F', 'I', 'F', 0};
+        for (uint8_t b : jfif) bw->put_byte(b);
+        bw->put_byte(1); bw->put_byte(1);  // version 1.1
+        bw->put_byte(0);                   // units: aspect only
+        put_u16(bw, 1); put_u16(bw, 1);    // density
+        bw->put_byte(0); bw->put_byte(0);  // thumbnail
+    }
+    for (int i = 0; i < 2; ++i) {          // DQT
+        put_marker(bw, 0xDB);
+        put_u16(bw, 2 + 1 + 64);
+        bw->put_byte(uint8_t(i));          // 8-bit precision, table id i
+        const uint16_t* q = i == 0 ? qtab_luma_zz : qtab_chroma_zz;
+        for (int k = 0; k < 64; ++k)
+            bw->put_byte(uint8_t(q[k] > 255 ? 255 : (q[k] < 1 ? 1 : q[k])));
+    }
+}
+
 }  // namespace
 
 extern "C" {
@@ -284,37 +331,7 @@ int64_t ce_jpeg_encode_baseline2(
 
     BitWriter bw{out, out_cap, 0, 0, 0, false, 0};
 
-    put_marker(&bw, 0xD8);  // SOI
-    if (app_mode == 1) {
-        // Adobe APP14, transform 0: decoders leave the 3 channels as-is.
-        put_marker(&bw, 0xEE);
-        put_u16(&bw, 14);
-        const uint8_t adobe[5] = {'A', 'd', 'o', 'b', 'e'};
-        for (uint8_t b : adobe) bw.put_byte(b);
-        put_u16(&bw, 100);                // DCTEncodeVersion
-        put_u16(&bw, 0);                  // flags0
-        put_u16(&bw, 0);                  // flags1
-        bw.put_byte(0);                   // transform: none
-    } else {
-        // APP0 JFIF 1.1, 1:1 aspect, no thumbnail.
-        put_marker(&bw, 0xE0);
-        put_u16(&bw, 16);
-        const uint8_t jfif[5] = {'J', 'F', 'I', 'F', 0};
-        for (uint8_t b : jfif) bw.put_byte(b);
-        bw.put_byte(1); bw.put_byte(1);   // version 1.1
-        bw.put_byte(0);                   // units: aspect only
-        put_u16(&bw, 1); put_u16(&bw, 1); // density
-        bw.put_byte(0); bw.put_byte(0);   // thumbnail
-    }
-
-    for (int i = 0; i < 2; ++i) {         // DQT
-        put_marker(&bw, 0xDB);
-        put_u16(&bw, 2 + 1 + 64);
-        bw.put_byte(uint8_t(i));          // 8-bit precision, table id i
-        const uint16_t* q = i == 0 ? qtab_luma_zz : qtab_chroma_zz;
-        for (int k = 0; k < 64; ++k)
-            bw.put_byte(uint8_t(q[k] > 255 ? 255 : (q[k] < 1 ? 1 : q[k])));
-    }
+    emit_container(&bw, app_mode, qtab_luma_zz, qtab_chroma_zz);
 
     put_marker(&bw, 0xC0);                // SOF0 baseline
     put_u16(&bw, uint16_t(8 + 3 * 3));
@@ -510,12 +527,16 @@ int64_t ce_jpeg_encode_progressive(
     std::memset(dc_freq, 0, sizeof(dc_freq));
     std::memset(ac_freq, 0, sizeof(ac_freq));
 
+    const int16_t* cptr[3] = {y_coeffs, cb_coeffs, cr_coeffs};
+    const uint32_t cbx[3] = {bx_y, bx_c, bx_c};
+    const uint32_t cny[3] = {ny_y, ny_c, ny_c};
+    const uint32_t cnx[3] = {nx_y, nx_c, nx_c};
+
     // Stats pass over every scan.
     dc_scan(comps, 3, mcus_y, mcus_x, dc_freq, nullptr, nullptr);
-    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 1, 5, ac_freq + 0 * 256, nullptr, nullptr);
-    ac_scan(cb_coeffs, bx_c, ny_c, nx_c, 1, 63, ac_freq + 1 * 256, nullptr, nullptr);
-    ac_scan(cr_coeffs, bx_c, ny_c, nx_c, 1, 63, ac_freq + 1 * 256, nullptr, nullptr);
-    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 6, 63, ac_freq + 2 * 256, nullptr, nullptr);
+    for (const ProgAcScan& s : kProgAcScans)
+        ac_scan(cptr[s.comp], cbx[s.comp], cny[s.comp], cnx[s.comp], s.ss,
+                s.se, ac_freq + s.tab * 256, nullptr, nullptr);
 
     HuffTable dc_tabs[2], ac_tabs[3];
     for (int i = 0; i < 2; ++i)
@@ -524,32 +545,7 @@ int64_t ce_jpeg_encode_progressive(
         build_optimal_table(ac_freq + i * 256, &ac_tabs[i]);
 
     BitWriter bw{out, out_cap, 0, 0, 0, false, 0};
-    put_marker(&bw, 0xD8);
-    if (app_mode == 1) {
-        put_marker(&bw, 0xEE);
-        put_u16(&bw, 14);
-        const uint8_t adobe[5] = {'A', 'd', 'o', 'b', 'e'};
-        for (uint8_t b : adobe) bw.put_byte(b);
-        put_u16(&bw, 100); put_u16(&bw, 0); put_u16(&bw, 0);
-        bw.put_byte(0);
-    } else {
-        put_marker(&bw, 0xE0);
-        put_u16(&bw, 16);
-        const uint8_t jfif[5] = {'J', 'F', 'I', 'F', 0};
-        for (uint8_t b : jfif) bw.put_byte(b);
-        bw.put_byte(1); bw.put_byte(1);
-        bw.put_byte(0);
-        put_u16(&bw, 1); put_u16(&bw, 1);
-        bw.put_byte(0); bw.put_byte(0);
-    }
-    for (int i = 0; i < 2; ++i) {
-        put_marker(&bw, 0xDB);
-        put_u16(&bw, 2 + 1 + 64);
-        bw.put_byte(uint8_t(i));
-        const uint16_t* q = i == 0 ? qtab_luma_zz : qtab_chroma_zz;
-        for (int k = 0; k < 64; ++k)
-            bw.put_byte(uint8_t(q[k] > 255 ? 255 : (q[k] < 1 ? 1 : q[k])));
-    }
+    emit_container(&bw, app_mode, qtab_luma_zz, qtab_chroma_zz);
     put_marker(&bw, 0xC2);  // SOF2 progressive
     put_u16(&bw, uint16_t(8 + 3 * 3));
     bw.put_byte(8);
@@ -576,20 +572,12 @@ int64_t ce_jpeg_encode_progressive(
         dc_scan(comps, 3, mcus_y, mcus_x, nullptr, dc_tabs, &bw);
         bw.flush();
     }
-    struct ScanDef {
-        const int16_t* c; uint32_t bx, ny, nx; int ss, se, id, tab;
-    } scans[4] = {
-        {y_coeffs, bx_y, ny_y, nx_y, 1, 5, 1, 0},
-        {cb_coeffs, bx_c, ny_c, nx_c, 1, 63, 2, 1},
-        {cr_coeffs, bx_c, ny_c, nx_c, 1, 63, 3, 1},
-        {y_coeffs, bx_y, ny_y, nx_y, 6, 63, 1, 2},
-    };
-    for (const ScanDef& s : scans) {
-        const int cid[1] = {s.id};
+    for (const ProgAcScan& s : kProgAcScans) {
+        const int cid[1] = {s.comp + 1};
         const int td[1] = {0}, ta[1] = {s.tab};
         put_sos(&bw, 1, cid, td, ta, s.ss, s.se);
-        ac_scan(s.c, s.bx, s.ny, s.nx, s.ss, s.se, nullptr, &ac_tabs[s.tab],
-                &bw);
+        ac_scan(cptr[s.comp], cbx[s.comp], cny[s.comp], cnx[s.comp], s.ss,
+                s.se, nullptr, &ac_tabs[s.tab], &bw);
         bw.flush();
     }
     put_marker(&bw, 0xD9);
@@ -668,17 +656,17 @@ int64_t ce_jpeg_scan_stats_progressive(
     uint32_t ny_c = sv == 2 ? ((uint32_t(height) + 1) / 2 + 7) / 8 : ny_y;
     uint32_t nx_c = sh == 2 ? ((uint32_t(width) + 1) / 2 + 7) / 8 : nx_y;
 
+    const int16_t* cptr[3] = {y_coeffs, cb_coeffs, cr_coeffs};
+    const uint32_t cbx[3] = {bx_y, bx_c, bx_c};
+    const uint32_t cny[3] = {ny_y, ny_c, ny_c};
+    const uint32_t cnx[3] = {nx_y, nx_c, nx_c};
+
     std::memset(dc_freq_out, 0, 2 * 256 * sizeof(uint32_t));
     std::memset(ac_freq_out, 0, 3 * 256 * sizeof(uint32_t));
     dc_scan(comps, 3, by_c, bx_c, dc_freq_out, nullptr, nullptr);
-    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 1, 5, ac_freq_out + 0 * 256, nullptr,
-            nullptr);
-    ac_scan(cb_coeffs, bx_c, ny_c, nx_c, 1, 63, ac_freq_out + 1 * 256, nullptr,
-            nullptr);
-    ac_scan(cr_coeffs, bx_c, ny_c, nx_c, 1, 63, ac_freq_out + 1 * 256, nullptr,
-            nullptr);
-    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 6, 63, ac_freq_out + 2 * 256, nullptr,
-            nullptr);
+    for (const ProgAcScan& s : kProgAcScans)
+        ac_scan(cptr[s.comp], cbx[s.comp], cny[s.comp], cnx[s.comp], s.ss,
+                s.se, ac_freq_out + s.tab * 256, nullptr, nullptr);
 
     HuffTable dc_tabs[2], ac_tabs[3];
     for (int i = 0; i < 2; ++i)
@@ -689,14 +677,11 @@ int64_t ce_jpeg_scan_stats_progressive(
     BitWriter bw{scratch, scratch_cap, 0, 0, 0, false, 0};
     dc_scan(comps, 3, by_c, bx_c, nullptr, dc_tabs, &bw);
     bw.flush();
-    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 1, 5, nullptr, &ac_tabs[0], &bw);
-    bw.flush();
-    ac_scan(cb_coeffs, bx_c, ny_c, nx_c, 1, 63, nullptr, &ac_tabs[1], &bw);
-    bw.flush();
-    ac_scan(cr_coeffs, bx_c, ny_c, nx_c, 1, 63, nullptr, &ac_tabs[1], &bw);
-    bw.flush();
-    ac_scan(y_coeffs, bx_y, ny_y, nx_y, 6, 63, nullptr, &ac_tabs[2], &bw);
-    bw.flush();
+    for (const ProgAcScan& s : kProgAcScans) {
+        ac_scan(cptr[s.comp], cbx[s.comp], cny[s.comp], cnx[s.comp], s.ss,
+                s.se, nullptr, &ac_tabs[s.tab], &bw);
+        bw.flush();
+    }
     if (bw.overflow) return -1;
     *scan_bytes_out = int64_t(bw.pos);
     *stuffed_out = int64_t(bw.stuffed);

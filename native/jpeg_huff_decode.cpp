@@ -86,6 +86,10 @@ struct BitReader {
 
     int get_bits(int n) {
         if (n == 0) return 0;
+        if (n > 24) {  // magnitude categories from a hostile DHT: UB shifts
+            error = true;
+            return 0;
+        }
         if (nbits < n) fill();
         int v = int((bitbuf >> (nbits - n)) & ((1u << n) - 1u));
         nbits -= n;
@@ -174,6 +178,26 @@ struct Decoder {
         return uint16_t((hi << 8) | u8());
     }
 
+    // One DHT segment body (shared by the pre-SOS header walk and the
+    // inter-scan segment walk in ce_jpeg_parse).
+    bool parse_dht(size_t seg_end) {
+        while (pos < seg_end) {
+            int tcth = u8();
+            int tc = tcth >> 4, th = tcth & 15;
+            if (th > 3) return false;
+            uint8_t bits[17] = {0};
+            int n = 0;
+            for (int l = 1; l <= 16; ++l) {
+                bits[l] = u8();
+                n += bits[l];
+            }
+            if (n > 256 || pos + size_t(n) > seg_end) return false;
+            (tc == 0 ? dc[th] : ac[th]).build(bits, data + pos, n);
+            pos += n;
+        }
+        return true;
+    }
+
     bool parse_headers_until_sos() {
         // caller positioned after SOI
         for (;;) {
@@ -233,23 +257,9 @@ struct Decoder {
                     }
                     break;
                 }
-                case 0xC4: {  // DHT
-                    while (pos < seg_end) {
-                        int tcth = u8();
-                        int tc = tcth >> 4, th = tcth & 15;
-                        if (th > 3) return false;
-                        uint8_t bits[17] = {0};
-                        int n = 0;
-                        for (int l = 1; l <= 16; ++l) {
-                            bits[l] = u8();
-                            n += bits[l];
-                        }
-                        if (n > 256 || pos + size_t(n) > seg_end) return false;
-                        (tc == 0 ? dc[th] : ac[th]).build(bits, data + pos, n);
-                        pos += n;
-                    }
+                case 0xC4:  // DHT
+                    if (!parse_dht(seg_end)) return false;
                     break;
-                }
                 case 0xDB: {  // DQT
                     while (pos < seg_end) {
                         int pq_tq = u8();
@@ -264,9 +274,11 @@ struct Decoder {
                     restart_interval = u16();
                     break;
                 case 0xEE: {  // APP14 Adobe
-                    if (seglen >= 14 && pos + 5 <= len &&
+                    // transform is the 12th body byte (T-REC-T.872 6.5.3);
+                    // seg_end - 1 would misread padded/extended segments.
+                    if (seglen >= 14 && pos + 12 <= len &&
                         std::memcmp(data + pos, "Adobe", 5) == 0)
-                        adobe_transform = data[seg_end - 1];
+                        adobe_transform = data[pos + 11];
                     pos = seg_end;
                     break;
                 }
@@ -375,6 +387,7 @@ struct Decoder {
         return mcu_walk(br, idx, ns, [&](Comp& co, uint32_t byi, uint32_t bxi) {
             int16_t* blk = block_at(co, byi, bxi);
             int t = br.decode(dc[co.td]);
+            if (t > 11) return false;  // 8-bit DC category cap (T.81 F.1.2.1.2)
             int diff = t ? extend(br.get_bits(t), t) : 0;
             co.pred += diff;
             blk[0] = int16_t(co.pred);
@@ -399,6 +412,7 @@ struct Decoder {
     bool scan_dc_first(BitReader& br, const int* idx, int ns, int al) {
         return mcu_walk(br, idx, ns, [&](Comp& co, uint32_t byi, uint32_t bxi) {
             int t = br.decode(dc[co.td]);
+            if (t > 11) return false;  // 8-bit DC category cap (T.81 F.1.2.1.2)
             int diff = t ? extend(br.get_bits(t), t) : 0;
             co.pred += diff;
             block_at(co, byi, bxi)[0] = int16_t(co.pred << al);
@@ -601,21 +615,7 @@ int64_t ce_jpeg_parse(
             size_t seg_end = d.pos + seglen - 2;
             if (seg_end > d.len) return -1;
             if (m == 0xC4) {
-                while (d.pos < seg_end) {
-                    int tcth = d.u8();
-                    int tc = tcth >> 4, th = tcth & 15;
-                    if (th > 3) return -1;
-                    uint8_t bits[17] = {0};
-                    int n = 0;
-                    for (int l = 1; l <= 16; ++l) {
-                        bits[l] = d.u8();
-                        n += bits[l];
-                    }
-                    if (n > 256 || d.pos + size_t(n) > seg_end) return -1;
-                    (tc == 0 ? d.dc[th] : d.ac[th])
-                        .build(bits, d.data + d.pos, n);
-                    d.pos += n;
-                }
+                if (!d.parse_dht(seg_end)) return -1;
             } else if (m == 0xDD) {
                 d.restart_interval = d.u16();
             }

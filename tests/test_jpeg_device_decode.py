@@ -246,3 +246,42 @@ def test_unsupported_and_corrupt_streams():
         jpeg_device.score_jpeg_files(
             IMG, [_pil_bytes(IMG[:128, :128], quality=75)]
         )
+
+
+def test_hostile_dht_dc_category_rejected():
+    """A DHT mapping a code to magnitude category 255 must fail cleanly
+    (T.81 caps 8-bit DC categories at 11); unchecked it drove shift
+    amounts far past the 32-bit bit buffer."""
+    data = bytearray(_pil_bytes(IMG, quality=75))
+    dht = data.find(b"\xff\xc4")
+    assert dht > 0
+    # DHT body: len(2) tc/th(1) bits[16] huffvals...; patch the first
+    # huffval of the first (DC) table to 0xFF.
+    data[dht + 5 + 16] = 0xFF
+    with pytest.raises(Exception):
+        jpeg_device.parse_jpeg(bytes(data))
+
+
+def test_app14_padded_segment_transform_offset():
+    """The Adobe transform byte sits at body offset 11 (T-REC-T.872
+    6.5.3); a padded APP14 (seglen > 14) must still read it there, not at
+    the segment's last byte.  Misreading padding as transform 0 would run
+    the passthrough (XYB-container) path on YCbCr planes."""
+    base = _pil_bytes(IMG, quality=90)
+    app14 = (
+        b"\xff\xee" + (16).to_bytes(2, "big") + b"Adobe"
+        + (100).to_bytes(2, "big") + b"\x00\x00" + b"\x00\x00"
+        + b"\x01"          # transform 1: YCbCr
+        + b"\x00\x00"      # padding the parser must not misread
+    )
+    padded = base[:2] + app14 + base[2:]
+    parsed = jpeg_device.parse_jpeg(padded)
+    assert parsed["adobe_transform"] == 1
+
+    from PIL import Image as _Image
+
+    pil = np.asarray(_Image.open(io.BytesIO(base)).convert("RGB"))
+    dev = np.asarray(jpeg_device.decode_jpeg_to_device(padded))
+    rgb = np.moveaxis(dev, 0, -1) if dev.shape[0] == 3 else dev
+    rms = float(np.sqrt(np.mean((rgb.astype(np.float32) - pil) ** 2)))
+    assert rms < 1.1, rms

@@ -287,3 +287,27 @@ def test_t81_code_sizes_degenerate_histograms():
     # empty histogram: no symbols, zero bits
     sizes, n = jr.t81_code_sizes(np.zeros(256, dtype=np.int64))
     assert n == 0 and sizes.sum() == 0
+
+
+def test_encode_to_target_names_binding_constraint():
+    """When the perceptual floor is reachable but the bpp ceiling excludes
+    every admissible point, the error must name bits_per_pixel — not claim
+    a satisfied perceptual metric is 'below threshold'."""
+    from codec_eval_tpu.engine.tpu_sweep import encode_to_target
+    from codec_eval_tpu.errors import QualityBelowThreshold
+
+    with pytest.raises(QualityBelowThreshold) as exc:
+        encode_to_target(
+            IMG, min_ssimulacra2=60.0, max_bits_per_pixel=0.02,
+            qualities=[50, 70, 90],
+        )
+    assert exc.value.metric == "bits_per_pixel"
+
+
+def test_rate_stats_exactness_envelope():
+    """f32 histogram counts are integer-exact only below 2^24 per bin; the
+    device half must refuse planes large enough to overflow that."""
+    import jax.numpy as jnp
+
+    with pytest.raises(ValueError, match="tile the image"):
+        jr._run_size_hist(jnp.zeros((1 << 18, 64), jnp.int32), 0, 63)
