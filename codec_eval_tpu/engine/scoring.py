@@ -279,20 +279,24 @@ class BatchScorer:
         self.config = config
         self._ref_key: object = None
         self._ref_pre = None
-        # Strong reference to the cached key array: guarantees its id()
-        # cannot be recycled while the cache entry is alive.
-        self._ref_array: object = None
 
     def enabled(self) -> bool:
         c = self.config
         return c.dssim or c.ssimulacra2 or c.butteraugli or c.psnr
 
     def _precomputed(self, reference_u8: np.ndarray):
-        """Per-image reference precompute, cached by array identity."""
+        """Per-image reference precompute, cached by (shape, config,
+        content crc): identity-keyed caching would let a caller that
+        decodes into a reused buffer mutate the reference in place and
+        silently score every later batch against the stale pyramids.  The
+        crc is ~0.5 ms/MP — noise next to the staging it guards."""
+        import zlib
+
+        contig = np.ascontiguousarray(reference_u8)
         key = (
-            id(reference_u8),
             reference_u8.shape,
             self.config,
+            zlib.crc32(contig.view(np.uint8).reshape(-1).data),
         )
         if self._ref_key != key:
             c = self.config
@@ -302,7 +306,6 @@ class BatchScorer:
             )
             self._ref_pre = pre_fn(jnp.asarray(reference_u8))
             self._ref_key = key
-            self._ref_array = reference_u8
         return self._ref_pre
 
     def score_batch(

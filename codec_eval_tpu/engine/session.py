@@ -121,11 +121,8 @@ class EvalConfigBuilder:
     def build(self) -> EvalConfig:
         if self._report_dir is None:
             raise ValueError("report_dir is required")
-        from ..errors import InvalidQuality
-
-        for q in self._quality_levels or []:
-            if not 0.0 <= q <= 100.0:
-                raise InvalidQuality(q)
+        # Quality-range validation lives in EvalConfig.__post_init__ (one
+        # site for every construction path).
         return EvalConfig(
             report_dir=self._report_dir,
             cache_dir=self._cache_dir,
@@ -165,6 +162,7 @@ class EvalSession:
         self.device_sweeps_run = 0
         self.device_sweep_fallbacks = 0
         self.jpeg_device_decodes_run = 0
+        self.jpeg_device_decode_fallbacks = 0
 
     def add_codec(self, codec_id: str, version: str, encode: EncodeFn) -> "EvalSession":
         self._codecs.append(_CodecEntry(codec_id, version, encode, None))
@@ -288,7 +286,7 @@ class EvalSession:
                 except Exception as e:  # noqa: BLE001 - fall back, loudly
                     import warnings
 
-                    self.device_sweep_fallbacks += 1
+                    self.jpeg_device_decode_fallbacks += 1
                     warnings.warn(
                         f"device JPEG decode failed for {codec.id} "
                         f"({type(e).__name__}: {e}); using the host "

@@ -117,7 +117,8 @@ def run_eval(
 
     from ..kernels.ssimulacra2 import ssimulacra2_batch
 
-    n_q = len(qualities)
+    if not images:
+        return EvalResult(config_summary=codec.summary, points=[], total_ms=0)
 
     # ssimulacra2_batch shares the reference precompute across the quality
     # sweep (the Ssimulacra2Reference amortization, eval.rs:138-149) and on

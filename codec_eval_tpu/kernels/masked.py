@@ -381,22 +381,12 @@ def bucket_shapes(
     return [(-(-h // g) * g, -(-w // g) * g) for h, w in shapes]
 
 
-def score_mixed_sizes(
-    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
-    granularity: int = 128,
-    batch: int = 8,
-) -> np.ndarray:
-    """SSIMULACRA2 for mixed-size uint8 pairs with bucketed masked scoring.
-
-    Groups pairs into padded shape buckets and scores each bucket with one
-    compiled program regardless of the exact sizes inside it.  Returns
-    scores in input order.
-    """
-    if not pairs:
-        return np.zeros((0,), np.float32)
+def _bucketed_chunks(pairs, granularity: int, batch: int):
+    """Group mixed-size pairs into padded shape buckets and yield padded
+    chunk batches: (chunk_indices, refs, dists, valid_hw).  Short tails of
+    a multi-chunk bucket are padded to ``batch`` (repeating the last pair)
+    so the bucket stays on one compiled program."""
     assignments = bucket_shapes([p[0].shape[:2] for p in pairs], granularity)
-    fn = jax.jit(ssimulacra2_masked_batch)
-    out = np.zeros(len(pairs), np.float32)
     groups: dict = {}
     for i, shape in enumerate(assignments):
         groups.setdefault(shape, []).append(i)
@@ -418,9 +408,28 @@ def score_mixed_sizes(
                 + [pairs[chunk[-1]][0].shape[:2]] * (pad_n - n),
                 np.int32,
             )
-            scores = np.asarray(fn(refs, dists, hw))
-            for j, i in enumerate(chunk):
-                out[i] = scores[j]
+            yield chunk, refs, dists, hw
+
+
+def score_mixed_sizes(
+    pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    granularity: int = 128,
+    batch: int = 8,
+) -> np.ndarray:
+    """SSIMULACRA2 for mixed-size uint8 pairs with bucketed masked scoring.
+
+    Groups pairs into padded shape buckets and scores each bucket with one
+    compiled program regardless of the exact sizes inside it.  Returns
+    scores in input order.
+    """
+    if not pairs:
+        return np.zeros((0,), np.float32)
+    fn = jax.jit(ssimulacra2_masked_batch)
+    out = np.zeros(len(pairs), np.float32)
+    for chunk, refs, dists, hw in _bucketed_chunks(pairs, granularity, batch):
+        scores = np.asarray(fn(refs, dists, hw))
+        for j, i in enumerate(chunk):
+            out[i] = scores[j]
     return out
 
 
@@ -449,34 +458,13 @@ def score_mixed_sizes_all(
     keys = ("ssimulacra2", "dssim", "butteraugli", "psnr")
     if not pairs:
         return {k: np.zeros((0,), np.float32) for k in keys}
-    assignments = bucket_shapes([p[0].shape[:2] for p in pairs], granularity)
     fn = jax.jit(_fused_masked_all)
     out = {k: np.zeros(len(pairs), np.float32) for k in keys}
-    groups: dict = {}
-    for i, shape in enumerate(assignments):
-        groups.setdefault(shape, []).append(i)
-    for (hp, wp), idxs in groups.items():
-        for start in range(0, len(idxs), batch):
-            chunk = idxs[start : start + batch]
-            n = len(chunk)
-            pad_n = batch if n < batch and len(idxs) > batch else n
-            refs = np.stack(
-                [pad_to_bucket(pairs[i][0], hp, wp) for i in chunk]
-                + [pad_to_bucket(pairs[chunk[-1]][0], hp, wp)] * (pad_n - n)
-            )
-            dists = np.stack(
-                [pad_to_bucket(pairs[i][1], hp, wp) for i in chunk]
-                + [pad_to_bucket(pairs[chunk[-1]][1], hp, wp)] * (pad_n - n)
-            )
-            hw = np.array(
-                [pairs[i][0].shape[:2] for i in chunk]
-                + [pairs[chunk[-1]][0].shape[:2]] * (pad_n - n),
-                np.int32,
-            )
-            scores = {k: np.asarray(v) for k, v in fn(refs, dists, hw).items()}
-            for j, i in enumerate(chunk):
-                for k in keys:
-                    out[k][i] = scores[k][j]
+    for chunk, refs, dists, hw in _bucketed_chunks(pairs, granularity, batch):
+        scores = {k: np.asarray(v) for k, v in fn(refs, dists, hw).items()}
+        for j, i in enumerate(chunk):
+            for k in keys:
+                out[k][i] = scores[k][j]
     return out
 
 

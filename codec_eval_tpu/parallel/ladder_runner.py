@@ -17,6 +17,7 @@ means.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -118,18 +119,12 @@ def sweep_corpus_ladders(
         planar_candidates=True, with_coefs=with_sizes,
         trellis_lambda=float(trellis_lambda),
     )
-    if size_mode == "device":
-        _rs = _jr.build_rate_stats(subsampling)
-
-        def rate_stats(cy, ccb, ccr):
-            st = _rs(cy, ccb, ccr)
-            return jnp.concatenate(
-                [st["dc_y"], st["dc_c"], st["ac_y"], st["ac_c"]], axis=-1
-            )
-
-        rate_stats = jax.vmap(rate_stats)
-    else:
-        rate_stats = None
+    # Packed-histogram layout and unpacking live in jpeg_rate; reusing its
+    # ladder builder keeps this runner in lockstep with
+    # size_estimates_from_packed.
+    rate_stats = (
+        _jr.build_ladder_rate_stats(subsampling) if size_mode == "device" else None
+    )
     pre_fn = _build_precompute(
         h, w, want["dssim"], want["ssimulacra2"], want["butteraugli"], False
     )
@@ -183,31 +178,45 @@ def sweep_corpus_ladders(
         tuple(t[_je.ZIGZAG] for t in _je.quality_to_qtables(q)) for q in qualities
     ]
 
-    for start in range(0, n, chunk_n):
-        chunk = list(images[start : start + chunk_n])
-        real = len(chunk)
-        while len(chunk) < chunk_n:
-            chunk.append(chunk[-1])
-        scores, coefs = step(jnp.asarray(np.stack(chunk)))
-        host_scores = _fetch_scores(scores)
-        for k, v in host_scores.items():
-            all_scores.setdefault(k, []).append(v[:real])
-        if size_mode == "device":
-            st = np.asarray(coefs)  # (chunk_n, n_q, 544) in one fetch
-            for ii in range(real):
-                sizes[start + ii] = _jr.size_estimates_from_packed(st[ii])
-        elif with_sizes:
-            cy = np.asarray(coefs["y"])
-            ccb = np.asarray(coefs["cb"])
-            ccr = np.asarray(coefs["cr"])
-            for ii in range(real):
-                for qi in range(n_q):
-                    ql, qc = qt_zz[qi]
-                    data = _native.jpeg_encode_baseline(
-                        w, h, subsampling,
-                        cy[ii, qi], ccb[ii, qi], ccr[ii, qi], ql, qc,
-                    )
-                    sizes[start + ii, qi] = len(data)
+    def _encode_chunk_sizes(cy, ccb, ccr, start, real):
+        for ii in range(real):
+            for qi in range(n_q):
+                ql, qc = qt_zz[qi]
+                data = _native.jpeg_encode_baseline(
+                    w, h, subsampling,
+                    cy[ii, qi], ccb[ii, qi], ccr[ii, qi], ql, qc,
+                )
+                sizes[start + ii, qi] = len(data)
+
+    # Exact sizes: one worker thread entropy-codes chunk k while chunk k+1
+    # runs on device — the serial host pass otherwise idles the device for
+    # most of the wall time (tpu_sweep's single-image path does the same).
+    with ThreadPoolExecutor(max_workers=1) as size_pool:
+        pending = None
+        for start in range(0, n, chunk_n):
+            chunk = list(images[start : start + chunk_n])
+            real = len(chunk)
+            while len(chunk) < chunk_n:
+                chunk.append(chunk[-1])
+            scores, coefs = step(jnp.asarray(np.stack(chunk)))
+            host_scores = _fetch_scores(scores)
+            for k, v in host_scores.items():
+                all_scores.setdefault(k, []).append(v[:real])
+            if size_mode == "device":
+                st = np.asarray(coefs)  # (chunk_n, n_q, 544) in one fetch
+                for ii in range(real):
+                    sizes[start + ii] = _jr.size_estimates_from_packed(st[ii])
+            elif with_sizes:
+                cy, ccb, ccr = jax.device_get(
+                    (coefs["y"], coefs["cb"], coefs["cr"])
+                )
+                if pending is not None:
+                    pending.result()
+                pending = size_pool.submit(
+                    _encode_chunk_sizes, cy, ccb, ccr, start, real
+                )
+        if pending is not None:
+            pending.result()
 
     return CorpusLadders(
         qualities=[float(q) for q in qualities],

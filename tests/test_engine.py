@@ -309,3 +309,20 @@ def test_evaluate_single_with_viewing_simulation():
     )
     # Shrinking to the displayed size hides high-frequency noise.
     assert sim.ssimulacra2 > plain.ssimulacra2 + 1.0
+
+
+def test_batch_scorer_detects_reference_mutation(rng):
+    """The reference precompute is cached by content, not identity: a
+    caller that decodes into a reused buffer must not be scored against
+    the stale reference pyramids."""
+    from codec_eval_tpu.engine.scoring import BatchScorer
+    from codec_eval_tpu.metrics import MetricConfig
+
+    scorer = BatchScorer(MetricConfig.fast())
+    ref = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    cand = ref[None].copy()
+    r1 = scorer.score_batch(ref, cand)
+    assert r1[0].psnr == float("inf")  # candidate == reference
+    ref[:] = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)  # in place
+    r2 = scorer.score_batch(ref, cand)
+    assert r2[0].psnr < 30.0  # re-precomputed against the NEW content

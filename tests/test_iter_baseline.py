@@ -89,3 +89,12 @@ def test_compare_with_missing_quality():
     rows = compare_with_baseline(_points(), baseline)
     r95 = next(r for r in rows if r.quality == 95)
     assert r95.delta_bpp == 0.0 and r95.delta_ssim2 == 0.0
+
+
+def test_run_eval_empty_images():
+    """An empty corpus returns an empty result, not an IndexError."""
+    from codec_eval_tpu.iter.codecs import build_codec
+    from codec_eval_tpu.iter.eval import run_eval
+
+    res = run_eval([], build_codec("jpeg"), [75, 85, 95])
+    assert res.points == [] and res.total_ms == 0
