@@ -43,12 +43,43 @@ reference: src/metrics/dssim.rs:102-131).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import os
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from .blur import downscale_by_2
+
+# ---------------------------------------------------------------------------
+# Structural decisions (round 3, VERDICT r2 #4).
+#
+# dssim-core has two details its docs don't pin down and no oracle exists in
+# this environment to diff against: (a) how many times the 3-tap window is
+# applied per moment map, and (b) how the 2x2 pyramid downsample rounds odd
+# dimensions.  Both variants of each are implemented behind flags below and
+# were scored against the published behavior anchors by
+# ``tools/dssim_variant_matrix.py`` (committed decision matrix in
+# docs/dssim_decision_matrix.md):
+#
+#   * blur passes: 1 pass wins decisively on rank agreement with the two
+#     independently-verified metrics (Spearman vs -SSIM2 0.982 at 1 pass
+#     -> 0.895 at 4 passes; vs Butteraugli 0.75 -> 0.54) — every added
+#     pass smooths away exactly the local structure the metric detects —
+#     while the decade-table and PerceptionLevel anchors do not
+#     discriminate (near-constant across variants).
+#   * downsample rounding: ceil-with-edge-clamp vs floor-truncate differ
+#     by <2% of score on odd-dim images and are indistinguishable at every
+#     anchor; ceil is kept for consistency with the SSIM2 pyramid and the
+#     masked-bucket path (kernels/masked.py).
+#
+# Flags stay as escape hatches: if dssim-core ever becomes runnable here,
+# diff per-stage and pin the exact choice (then delete the flags).
+# ---------------------------------------------------------------------------
+DEFAULT_BLUR_PASSES = int(os.environ.get("CODEC_EVAL_DSSIM_BLUR_PASSES", "1"))
+#: "ceil" = edge-clamped ceil(n/2) (SSIM2-pyramid convention), "floor" =
+#: truncate the odd last row/column before the 2x2 mean.
+DEFAULT_DOWNSCALE = os.environ.get("CODEC_EVAL_DSSIM_DOWNSCALE", "ceil")
 
 # Per-scale weights (Wang et al. MS-SSIM), used by dssim-core.
 SCALE_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
@@ -97,29 +128,55 @@ def _linear_rgb_to_lab_planes(rgb_planes: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([l_chan, a_chan, b_chan], axis=0)
 
 
-def _blur_window(planes: jnp.ndarray) -> jnp.ndarray:
-    """dssim-core's 3x3 window blur on (C, H, W), edge-replicated borders."""
+def _blur_window(
+    planes: jnp.ndarray, passes: Optional[int] = None
+) -> jnp.ndarray:
+    """dssim-core's 3x3 window blur on (C, H, W), edge-replicated borders.
+
+    ``passes`` repeats the separable kernel (structural-unknown flag; see
+    module header).  Default 1 per the round-3 decision matrix.
+    """
+    if passes is None:
+        passes = DEFAULT_BLUR_PASSES
     a, b, _ = _BLUR_TAPS
     c, h, w = planes.shape
-    xp = jnp.pad(planes, ((0, 0), (1, 1), (0, 0)), mode="edge")
-    out = a * xp[:, 0:h, :] + b * xp[:, 1 : 1 + h, :] + a * xp[:, 2 : 2 + h, :]
-    xp = jnp.pad(out, ((0, 0), (0, 0), (1, 1)), mode="edge")
-    return a * xp[:, :, 0:w] + b * xp[:, :, 1 : 1 + w] + a * xp[:, :, 2 : 2 + w]
+    out = planes
+    for _ in range(passes):
+        xp = jnp.pad(out, ((0, 0), (1, 1), (0, 0)), mode="edge")
+        out = a * xp[:, 0:h, :] + b * xp[:, 1 : 1 + h, :] + a * xp[:, 2 : 2 + h, :]
+        xp = jnp.pad(out, ((0, 0), (0, 0), (1, 1)), mode="edge")
+        out = a * xp[:, :, 0:w] + b * xp[:, :, 1 : 1 + w] + a * xp[:, :, 2 : 2 + w]
+    return out
 
 
-def _lab_channel_pyramids(lab: jnp.ndarray) -> list[jnp.ndarray]:
+def _downscale(planes: jnp.ndarray, mode: Optional[str] = None) -> jnp.ndarray:
+    """2x2 box downscale; odd-dim rounding per the structural-unknown flag."""
+    if mode is None:
+        mode = DEFAULT_DOWNSCALE
+    if mode == "floor":
+        c, h, w = planes.shape
+        if h < 2 or w < 2:
+            return planes  # cannot truncate below 1px; keep as-is
+        p = planes[:, : h // 2 * 2, : w // 2 * 2]
+        return p.reshape(c, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+    return downscale_by_2(planes)
+
+
+def _lab_channel_pyramids(
+    lab: jnp.ndarray, downscale: Optional[str] = None
+) -> list[jnp.ndarray]:
     """Per-scale channel stacks: luma at full res, chroma pre-halved.
 
     Returns, for each scale, a (3, h, w) "virtual" stack represented as a
-    pair — luma plane (1, h, w) and chroma planes (2, ceil(h/2), ceil(w/2)).
+    pair — luma plane (1, h, w) and chroma planes (2, ~h/2, ~w/2).
     """
     luma = lab[:1]
-    chroma = downscale_by_2(lab[1:])
+    chroma = _downscale(lab[1:], downscale)
     stacks = []
     for scale in range(len(SCALE_WEIGHTS)):
         if scale:
-            luma = downscale_by_2(luma)
-            chroma = downscale_by_2(chroma)
+            luma = _downscale(luma, downscale)
+            chroma = _downscale(chroma, downscale)
         stacks.append((luma, chroma))
     return stacks
 
@@ -129,10 +186,11 @@ def _ssim_means(
     mu1: jnp.ndarray,
     s11: jnp.ndarray,
     ch2: jnp.ndarray,
+    blur_passes: Optional[int] = None,
 ) -> jnp.ndarray:
     """Mean SSIM per plane of a (C, H, W) stack, reference moments given."""
     stacked = jnp.concatenate([ch2, ch2 * ch2, ch1 * ch2], axis=0)
-    blurred = _blur_window(stacked)
+    blurred = _blur_window(stacked, blur_passes)
     n = ch1.shape[0]
     mu2, s22, s12 = blurred[:n], blurred[n : 2 * n], blurred[2 * n :]
     mu11, mu22, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
@@ -153,15 +211,19 @@ class DssimReference(NamedTuple):
     sqblur: tuple  # blur of each squared
 
 
-def precompute_dssim_reference(ref_linear: jnp.ndarray) -> DssimReference:
+def precompute_dssim_reference(
+    ref_linear: jnp.ndarray,
+    blur_passes: Optional[int] = None,
+    downscale: Optional[str] = None,
+) -> DssimReference:
     """ref_linear: (3, H, W) or (H, W, 3) linear-light RGB."""
     if ref_linear.shape[-1] == 3 and ref_linear.ndim == 3:
         ref_linear = jnp.moveaxis(ref_linear, -1, 0)
     lab = _linear_rgb_to_lab_planes(ref_linear)
     planes, mus, sqs = [], [], []
-    for luma, chroma in _lab_channel_pyramids(lab):
-        bl = _blur_window(jnp.concatenate([luma, luma * luma], axis=0))
-        bc = _blur_window(jnp.concatenate([chroma, chroma * chroma], axis=0))
+    for luma, chroma in _lab_channel_pyramids(lab, downscale):
+        bl = _blur_window(jnp.concatenate([luma, luma * luma], axis=0), blur_passes)
+        bc = _blur_window(jnp.concatenate([chroma, chroma * chroma], axis=0), blur_passes)
         planes.append((luma, chroma))
         mus.append((bl[:1], bc[:2]))
         sqs.append((bl[1:], bc[2:]))
@@ -180,23 +242,31 @@ def _aggregate(per_scale_luma: list, per_scale_chroma: list) -> jnp.ndarray:
 
 
 def dssim_against_reference(
-    ref: DssimReference, dist_linear: jnp.ndarray
+    ref: DssimReference,
+    dist_linear: jnp.ndarray,
+    blur_passes: Optional[int] = None,
+    downscale: Optional[str] = None,
 ) -> jnp.ndarray:
     """DSSIM of one candidate vs a precomputed reference."""
     if dist_linear.shape[-1] == 3 and dist_linear.ndim == 3:
         dist_linear = jnp.moveaxis(dist_linear, -1, 0)
     lab2 = _linear_rgb_to_lab_planes(dist_linear)
     luma_means, chroma_means = [], []
-    for s, (luma2, chroma2) in enumerate(_lab_channel_pyramids(lab2)):
+    for s, (luma2, chroma2) in enumerate(_lab_channel_pyramids(lab2, downscale)):
         l1, c1 = ref.planes[s]
         lmu, cmu = ref.mu[s]
         lsq, csq = ref.sqblur[s]
-        luma_means.append(_ssim_means(l1, lmu, lsq, luma2))
-        chroma_means.append(_ssim_means(c1, cmu, csq, chroma2))
+        luma_means.append(_ssim_means(l1, lmu, lsq, luma2, blur_passes))
+        chroma_means.append(_ssim_means(c1, cmu, csq, chroma2, blur_passes))
     return _aggregate(luma_means, chroma_means)
 
 
-def dssim(ref_linear: jnp.ndarray, dist_linear: jnp.ndarray) -> jnp.ndarray:
+def dssim(
+    ref_linear: jnp.ndarray,
+    dist_linear: jnp.ndarray,
+    blur_passes: Optional[int] = None,
+    downscale: Optional[str] = None,
+) -> jnp.ndarray:
     """DSSIM over linear-light RGB planes or HWC arrays.
 
     Accepts (3, H, W) planes or (H, W, 3); returns a scalar, 0 = identical.
@@ -205,8 +275,8 @@ def dssim(ref_linear: jnp.ndarray, dist_linear: jnp.ndarray) -> jnp.ndarray:
     if ref_linear.shape[-1] == 3 and ref_linear.ndim == 3:
         ref_linear = jnp.moveaxis(ref_linear, -1, 0)
         dist_linear = jnp.moveaxis(dist_linear, -1, 0)
-    ref = precompute_dssim_reference(ref_linear)
-    val = dssim_against_reference(ref, dist_linear)
+    ref = precompute_dssim_reference(ref_linear, blur_passes, downscale)
+    val = dssim_against_reference(ref, dist_linear, blur_passes, downscale)
     # Exact-zero guarantee for identical buffers (mirrors reference behavior).
     identical = jnp.all(ref_linear == dist_linear)
     return jnp.where(identical, jnp.asarray(0.0, val.dtype), val)

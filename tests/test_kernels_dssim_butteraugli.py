@@ -87,8 +87,9 @@ def test_butteraugli_monotone_with_quality():
 
 @pytest.mark.skipif(not jxl_golden.is_available(), reason="libjxl unavailable")
 def test_butteraugli_tracks_golden():
-    """Calibrated kernel stays within 2x of the canonical scorer and is
-    rank-correlated across distortion strengths."""
+    """Faithful port stays within 3% of the live canonical scorer on a JPEG
+    sweep plus noise (the committed-fixture distribution gate lives in
+    tests/test_butteraugli_oracle.py; this is the live-oracle spot check)."""
     img = _photo(128, 128)
     pairs = [_jpeg(img, q) for q in (30, 50, 70, 90)]
     rng = np.random.default_rng(3)
@@ -101,10 +102,8 @@ def test_butteraugli_tracks_golden():
         mine.append(float(butteraugli(jnp.asarray(img), jnp.asarray(dist))))
         gold.append(jxl_golden.butteraugli_golden(img, dist))
     mine, gold = np.array(mine), np.array(gold)
-    ratio = mine / gold
-    assert (ratio > 0.5).all() and (ratio < 2.0).all(), (mine, gold)
-    # Rank correlation over the sweep.
-    assert np.corrcoef(np.argsort(np.argsort(mine)), np.argsort(np.argsort(gold)))[0, 1] > 0.7
+    rel = np.abs(mine - gold) / np.maximum(gold, 1e-9)
+    assert rel.max() < 0.03, (mine, gold, rel)
 
 
 def test_butteraugli_intensity_target_plumbing():

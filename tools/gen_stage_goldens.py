@@ -46,10 +46,7 @@ def fixture_pair():
     return ref, dist
 
 
-def main() -> None:
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
+def gen_ssim2() -> None:
     import jax.numpy as jnp
 
     from codec_eval_tpu.kernels.color import srgb_u8_to_linear
@@ -80,6 +77,106 @@ def main() -> None:
     path.parent.mkdir(parents=True, exist_ok=True)
     np.savez_compressed(path, **out)
     print(f"wrote {path} (score={float(score):.6f}, {len(out)} arrays)")
+
+
+def gen_butteraugli() -> None:
+    """Pin the butteraugli pipeline's intermediates (VERDICT r2 #1): opsin
+    XYB, the four psycho bands, Malta AC maps, mask response maps, distmap,
+    and score — so a refactor that drifts any stage fails pytest instead of
+    relying on a human re-running tools/butteraugli_parity.py."""
+    import jax.numpy as jnp
+
+    from codec_eval_tpu.kernels import butteraugli as ba
+    from codec_eval_tpu.kernels.color import srgb_u8_to_linear
+
+    ref_u8, dist_u8 = fixture_pair()
+    it = jnp.float32(80.0)
+    lin0 = jnp.moveaxis(srgb_u8_to_linear(jnp.asarray(ref_u8)), -1, 0)
+    lin1 = jnp.moveaxis(srgb_u8_to_linear(jnp.asarray(dist_u8)), -1, 0)
+    xyb0 = ba._opsin_dynamics(lin0 * it)
+    xyb1 = ba._opsin_dynamics(lin1 * it)
+    pi0 = ba._separate_frequencies(xyb0)
+    pi1 = ba._separate_frequencies(xyb1)
+    malta_ac = ba._malta_ac_stack_xla(ba._malta_diffs_stack(pi0, pi1, 0.8))
+    mask, mask_diff_ac = ba._mask_psycho_image(pi0, pi1)
+    dmap = ba.butteraugli_distmap(jnp.asarray(ref_u8), jnp.asarray(dist_u8))
+
+    out = {
+        "ref_u8": ref_u8,
+        "dist_u8": dist_u8,
+        "xyb0": np.asarray(xyb0),
+        "xyb1": np.asarray(xyb1),
+        "malta_ac": np.asarray(malta_ac),
+        "mask_y": np.asarray(ba._mask_y(mask)),
+        "mask_dc_y": np.asarray(ba._mask_dc_y(mask)),
+        "mask_diff_ac": np.asarray(mask_diff_ac),
+        "distmap": np.asarray(dmap),
+        "score": np.asarray(jnp.max(dmap)),
+    }
+    for band in ("uhf", "hf", "mf", "lf"):
+        out[f"pi0_{band}"] = np.asarray(getattr(pi0, band))
+
+    path = REPO / "tests" / "goldens" / "ba_stages.npz"
+    np.savez_compressed(path, **out)
+    print(f"wrote {path} (score={float(out['score']):.6f}, {len(out)} arrays)")
+
+
+def gen_dssim() -> None:
+    """Pin the DSSIM pipeline's intermediates: scaled-Lab planes, per-scale
+    (luma, chroma) pyramid levels, per-scale SSIM means, and the score —
+    under the round-3 structural decision (module header of kernels/dssim.py)."""
+    import jax.numpy as jnp
+
+    from codec_eval_tpu.kernels import dssim as dk
+    from codec_eval_tpu.kernels.color import srgb_u8_to_linear
+
+    ref_u8, dist_u8 = fixture_pair()
+    lin0 = jnp.moveaxis(srgb_u8_to_linear(jnp.asarray(ref_u8)), -1, 0)
+    lin1 = jnp.moveaxis(srgb_u8_to_linear(jnp.asarray(dist_u8)), -1, 0)
+    lab0 = dk._linear_rgb_to_lab_planes(lin0)
+    ref = dk.precompute_dssim_reference(lin0)
+
+    lab1 = dk._linear_rgb_to_lab_planes(lin1)
+    out = {
+        "ref_u8": ref_u8,
+        "dist_u8": dist_u8,
+        "lab_ref": np.asarray(lab0),
+        "lab_dist": np.asarray(lab1),
+        "score": np.asarray(dk.dssim(lin0, lin1)),
+        "blur_passes": np.asarray(dk.DEFAULT_BLUR_PASSES),
+        "downscale": np.asarray(dk.DEFAULT_DOWNSCALE),
+    }
+    luma_means, chroma_means = [], []
+    for s, (luma2, chroma2) in enumerate(dk._lab_channel_pyramids(lab1)):
+        out[f"ref_luma_s{s}"] = np.asarray(ref.planes[s][0])
+        out[f"ref_chroma_s{s}"] = np.asarray(ref.planes[s][1])
+        luma_means.append(
+            np.asarray(dk._ssim_means(ref.planes[s][0], ref.mu[s][0],
+                                      ref.sqblur[s][0], luma2))
+        )
+        chroma_means.append(
+            np.asarray(dk._ssim_means(ref.planes[s][1], ref.mu[s][1],
+                                      ref.sqblur[s][1], chroma2))
+        )
+    out["luma_means"] = np.stack(luma_means)
+    out["chroma_means"] = np.stack(chroma_means)
+
+    path = REPO / "tests" / "goldens" / "dssim_stages.npz"
+    np.savez_compressed(path, **out)
+    print(f"wrote {path} (score={float(out['score']):.6f}, {len(out)} arrays)")
+
+
+def main() -> None:
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if which in ("all", "ssim2"):
+        gen_ssim2()
+    if which in ("all", "ba"):
+        gen_butteraugli()
+    if which in ("all", "dssim"):
+        gen_dssim()
 
 
 if __name__ == "__main__":
