@@ -391,14 +391,97 @@ def run_sweep_scenario(jax, jnp) -> dict:
     }
 
 
+LARGE_SIZE = 2048
+LARGE_QUALITIES = tuple(range(50, 99, 5))  # 10-point ladder
+
+
+def run_large_scenario(jax, jnp) -> dict:
+    """CLIC-class scenario (2048px, the reference's CLIC2025 calibration
+    size — src/stats/rd_knee.rs:1049-1084) plus a mixed-size masked-bucket
+    corpus: the two paths round 2 had correctness tests for but no measured
+    throughput (VERDICT r2 #3)."""
+    from codec_eval_tpu.engine.scoring import (
+        _build_chunk_scorer,
+        _build_precompute,
+    )
+
+    chunk = int(__import__("os").environ.get("CODEC_EVAL_BENCH_LARGE_CHUNK", "5"))
+    n_cand = len(LARGE_QUALITIES)
+    n_chunks = n_cand // chunk
+    ref = _photo(LARGE_SIZE, LARGE_SIZE, 900)
+    codecs = _sweep_codecs()
+
+    def encode_ladder(r, fn):
+        return np.stack([fn(r, q) for q in LARGE_QUALITIES])
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        batch = pool.submit(encode_ladder, ref, codecs["jpeg-420"]).result()
+
+    scorer = _build_chunk_scorer(LARGE_SIZE, LARGE_SIZE, chunk, True, True, True, True)
+    pre = _build_precompute(LARGE_SIZE, LARGE_SIZE, True, True, True, False)
+    ref_dev = jax.block_until_ready(jnp.asarray(ref))
+    chunks = [
+        jnp.asarray(batch[c * chunk : (c + 1) * chunk]) for c in range(n_chunks)
+    ]
+    jax.block_until_ready(chunks)
+    _ = np.asarray(chunks[-1][0, 0, 0, :1])  # drain transfer stream
+
+    warm = scorer(pre(ref_dev), chunks[0])
+    warm_np = {k: np.asarray(v) for k, v in warm.items()}
+    assert all(np.isfinite(v).all() for v in warm_np.values()), warm_np
+
+    best = float("inf")
+    reps = 3
+    for rep in range(reps):
+        # Fresh bits per rep (remote memoization; see module notes).
+        chunks = [c.at[0, rep, 0, 0].add(1) for c in chunks]
+        jax.block_until_ready(chunks)
+        t0 = time.perf_counter()
+        p = pre(ref_dev)
+        outs = [scorer(p, c) for c in chunks]
+        _ = np.asarray(next(iter(outs[-1].values()))[0])
+        best = min(best, time.perf_counter() - t0)
+    pairs_2048 = n_cand / best
+
+    # Mixed-size masked buckets (512/800/2048 in ONE corpus run) through the
+    # production sharded runner — wall-clock includes staging, one device.
+    from codec_eval_tpu.parallel.corpus_runner import score_pairs_sharded
+    from codec_eval_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(n_batch=len(jax.devices()), n_space=1)
+
+    def jpegged(img, q=75):
+        return codecs["jpeg-420"](img, q)
+
+    mixed = []
+    for size, n in ((512, 4), (800, 2), (2048, 1)):
+        for i in range(n):
+            r = _photo(size, size, 950 + i)
+            mixed.append((r, jpegged(r)))
+    t0 = time.perf_counter()
+    res = score_pairs_sharded(mixed, mesh=mesh, masked=True, granularity=128)
+    masked_mixed_pps = len(mixed) / (time.perf_counter() - t0)
+    assert all(
+        0.0 < row["ssimulacra2"] <= 100.0 for row in res.per_pair
+    ), res.per_pair
+
+    return {
+        "pairs_per_sec_2048px_allmetric": round(pairs_2048, 2),
+        "masked_mixed_size_pairs_per_sec_wall": round(masked_mixed_pps, 2),
+        "masked_mixed_sizes": "4x512 + 2x800 + 1x2048, granularity 128",
+        "large_chunk": chunk,
+    }
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
         "--scenario",
-        choices=["all", "precompute", "sweep"],
+        choices=["all", "precompute", "sweep", "large"],
         default="all",
         help="'precompute' = north-star 800px throughput; 'sweep' = dense "
-        "25pt x 4-codec 512px flagship; 'all' = both (default)",
+        "25pt x 4-codec 512px flagship; 'large' = 2048px CLIC-class + "
+        "mixed-size masked buckets; 'all' = every scenario (default)",
     )
     args = parser.parse_args()
 
@@ -406,6 +489,25 @@ def main() -> None:
     import jax.numpy as jnp
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    if args.scenario == "large":
+        large = run_large_scenario(jax, jnp)
+        print(
+            json.dumps(
+                {
+                    "metric": "pairs_per_sec_2048px_allmetric",
+                    "value": large["pairs_per_sec_2048px_allmetric"],
+                    "unit": "pairs/s/chip",
+                    "vs_baseline": None,
+                    **{
+                        k: v
+                        for k, v in large.items()
+                        if k != "pairs_per_sec_2048px_allmetric"
+                    },
+                }
+            )
+        )
+        return
 
     if args.scenario == "sweep":
         sweep = run_sweep_scenario(jax, jnp)
@@ -516,6 +618,7 @@ def main() -> None:
     }
     if args.scenario == "all":
         record["sweep"] = run_sweep_scenario(jax, jnp)
+        record["large"] = run_large_scenario(jax, jnp)
     print(json.dumps(record))
 
 

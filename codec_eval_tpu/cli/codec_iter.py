@@ -33,7 +33,11 @@ QUALITY_PRESETS = {
 
 
 def _add_common(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--corpus", type=Path, required=True, help="image directory")
+    p.add_argument(
+        "--corpus", type=Path, required=True,
+        help="image directory, or a virtual corpus name "
+        "(synthetic-v1, synthetic-photo-v1)",
+    )
     p.add_argument("--limit", type=int, default=3, help="image count (tier select)")
     p.add_argument(
         "--preset", choices=sorted(QUALITY_PRESETS), default="quick",

@@ -310,7 +310,32 @@ def main(argv=None) -> int:
     (args.output / "rd_curve.svg").write_text(svg)
     code = emit_calibration_code(cal, corpus.name, summary)
     (args.output / "calibration.py").write_text(code + "\n")
-    print(f"\nwrote {args.output}/rd_curve.svg and calibration.py")
+    # Machine-readable calibration for tooling (tools/clic_calibration_check
+    # .py and CI): knees + provenance.
+    import json
+
+    (args.output / "calibration.json").write_text(
+        json.dumps(
+            {
+                "corpus": corpus.name,
+                "codec": summary,
+                "image_count": image_count,
+                "ssimulacra2": {
+                    "bpp": cal.ssimulacra2.bpp,
+                    "score": cal.ssimulacra2.quality,
+                    "angle": cal.ssimulacra2.fixed_angle,
+                },
+                "butteraugli": {
+                    "bpp": cal.butteraugli.bpp,
+                    "score": cal.butteraugli.quality,
+                    "angle": cal.butteraugli.fixed_angle,
+                },
+            },
+            indent=2,
+        )
+        + "\n"
+    )
+    print(f"\nwrote {args.output}/rd_curve.svg, calibration.py, calibration.json")
     print("\n" + code)
     return 0
 

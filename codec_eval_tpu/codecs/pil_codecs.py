@@ -171,29 +171,36 @@ class AvifCodec(_PilCodec):
     loop-restoration toggles are accepted but are no-ops in still-picture
     mode (verified by output hashing).
 
-    Measured preset tradeoffs (tools/avif_ladder_bench.py: 6 synthetic
-    512px images x q=35..85, SSIMULACRA2 BD-rate vs `baseline`, encode-time
-    ratio; negative = smaller files at equal quality; 2026-08-16 run):
+    Measured preset tradeoffs (tools/avif_ladder_bench.py: 512px images x
+    q=35..85, SSIMULACRA2 BD-rate vs `baseline`, encode-time ratio;
+    negative = smaller files at equal quality).  Every number is labeled
+    with its corpus — the two corpora disagree sharply, which is itself
+    the finding:
 
-    ========== =========== ======
-    preset     BD-rate(s2) time x
-    ========== =========== ======
-    fast           +47.6%   0.32
-    slow           -18.0%   3.76
-    444            -55.3%   1.18
-    qm              +3.2%   1.06
-    qm-full         +6.3%   0.95
-    qm-444         -52.6%   1.00
-    qm-sharp        +2.9%   0.74
-    qm-slow        -15.4%   5.94
-    tune-psnr       -0.3%   1.64
-    ========== =========== ======
+    ========== ================== ====== ================== ======
+    .          synthetic-photo-v1        synthetic-trig
+    preset     BD-rate(s2) (2026-08-19)  BD-rate(s2) (2026-08-16)
+    ========== ================== ====== ================== ======
+    fast            +0.1%          0.43       +47.6%          0.32
+    slow            -0.8%          6.01       -18.0%          3.76
+    444            -16.4%          0.97       -55.3%          1.18
+    qm             +14.3%          0.77        +3.2%          1.06
+    qm-full        +15.9%          0.54        +6.3%          0.95
+    qm-444          -2.9%          0.68       -52.6%          1.00
+    qm-sharp       +13.6%          0.63        +2.9%          0.74
+    qm-slow         +7.2%          2.60       -15.4%          5.94
+    tune-psnr       +0.3%          0.48        -0.3%          1.64
+    ========== ================== ====== ================== ======
 
-    Caveats: synthetic content has saturated high-frequency chroma, which
-    exaggerates the 4:4:4 win and penalizes quantization matrices (the
-    reference reports qm ~ -10% BD-rate for rav1e on CID22 photographs,
-    avif_config.rs:3-7); re-run the tool on a photographic corpus before
-    quoting these for production ladders.
+    Reading: the trig corpus's saturated high-frequency chroma exaggerates
+    4:4:4 (-55%) — on photo-statistics content (1/f spectra + film grain,
+    iter.source.photo_sources) the 4:4:4 win shrinks to -16% and aom's
+    quantization-matrix presets HURT (+14%), because qm deletes exactly the
+    grain/texture SSIMULACRA2 scores.  The reference's qm ~ -10% claim is
+    rav1e-on-CID22 (avif_config.rs:3-7) — a different encoder's qm on real
+    photographs; treat these aom-knob numbers as this framework's own
+    measurements, not a reproduction of that claim.  Re-measure on a real
+    corpus before quoting for production ladders.
     """
 
     _pil_format = "AVIF"

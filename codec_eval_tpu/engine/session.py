@@ -18,7 +18,7 @@ from typing import Callable, Dict, List, Optional
 
 import numpy as np
 
-from ..errors import CodecError, DimensionMismatch
+from ..errors import CodecError, CodecEvalError, DimensionMismatch
 from ..metrics import MetricConfig
 from ..viewing import ViewingCondition
 from .image import ImageData
@@ -206,7 +206,18 @@ class EvalSession:
         width, height = image.width, image.height
         request = EncodeRequest(quality=quality)
         t0 = time.perf_counter()
-        encoded = codec.encode(image, request)
+        # Callback boundary: arbitrary third-party exceptions become typed
+        # CodecError, the way the reference's EncodeFn signature forces
+        # callback failures into Error::Codec (src/eval/session.rs:181-186)
+        # — so the per-cell skip-and-continue policy applies to them.
+        try:
+            encoded = codec.encode(image, request)
+        except CodecEvalError:
+            raise
+        except Exception as e:  # noqa: BLE001 - callback boundary
+            raise CodecError(
+                codec.id, f"encode failed at q{quality:g}: {type(e).__name__}: {e}"
+            ) from e
         encode_ms = int((time.perf_counter() - t0) * 1000)
 
         cached_path = None
@@ -235,7 +246,14 @@ class EvalSession:
             entry["data"] = encoded
         if codec.decode is not None and decode:
             t0 = time.perf_counter()
-            decoded = codec.decode(encoded)
+            try:
+                decoded = codec.decode(encoded)
+            except CodecEvalError:
+                raise
+            except Exception as e:  # noqa: BLE001 - callback boundary
+                raise CodecError(
+                    codec.id, f"decode failed at q{quality:g}: {type(e).__name__}: {e}"
+                ) from e
             entry["decode_ms"] = int((time.perf_counter() - t0) * 1000)
             decoded_rgb = decoded.to_rgb8_srgb()
             if decoded_rgb.shape[:2] != (height, width):

@@ -109,9 +109,93 @@ def synthetic_sources(n: int = 3, size: int = 256) -> List[SourceImage]:
     return out
 
 
+#: Version tag of the photo-statistics corpus below (bump on generator
+#: change, as with SYNTHETIC_CORPUS_VERSION).
+PHOTO_CORPUS_VERSION = "synthetic-photo-v1"
+
+
+def photo_sources(
+    n: int = 8, size: int = 512, seed: int = 2026
+) -> List[SourceImage]:
+    """Photo-statistics synthetic corpus: the closest in-environment stand-in
+    for CID22/CLIC photographs (no real corpus ships here; the reference's
+    comparable BD-rate numbers are CID22-photograph numbers,
+    crates/codec-iter/src/avif_config.rs:3-7).
+
+    Each image follows measured natural-image statistics rather than the
+    trig-pattern recipe of ``synthetic_sources``:
+
+    - luma is a 1/f^alpha random-phase field (alpha ~ U[1.7, 2.3], the
+      natural-image power-law band) plus 2-4 soft occlusion edges;
+    - chroma rides two independent, smoother (alpha + 0.6) low-bandwidth
+      fields with per-image saturation drawn from U[0.06, 0.35] — mixed
+      muted/vivid palettes;
+    - film grain: luma-dependent Gaussian noise (sigma = g0 + g1*sqrt(Y)),
+      mostly common-mode across channels like real sensor noise.
+
+    Deterministic: FFTs and ``default_rng`` streams are stable across numpy
+    versions, so (n, size, seed, version) regenerates identical pixels.
+    """
+    out: List[SourceImage] = []
+    for i in range(n):
+        rng = np.random.default_rng(seed * 1000 + i)
+        alpha = rng.uniform(1.7, 2.3)
+
+        def field(a, r=rng, s=size):
+            fy = np.fft.fftfreq(s)[:, None]
+            fx = np.fft.rfftfreq(s)[None, :]
+            f = np.hypot(fy, fx)
+            amp = np.where(f > 0, 1.0 / np.power(np.maximum(f, 1e-6), a / 2.0), 0.0)
+            phase = r.uniform(0, 2 * np.pi, amp.shape)
+            spec = amp * np.exp(1j * phase)
+            x = np.fft.irfft2(spec, s=(s, s))
+            sd = x.std()
+            return x / (sd if sd > 0 else 1.0)
+
+        y, x = np.mgrid[0:size, 0:size].astype(np.float64)
+        luma = field(alpha) * rng.uniform(35.0, 70.0) + rng.uniform(90.0, 165.0)
+        # Soft occlusion edges (objects against background produce step
+        # edges that pure 1/f fields lack).
+        for _ in range(int(rng.integers(2, 5))):
+            cx, cy = rng.uniform(0, size), rng.uniform(0, size)
+            ang = rng.uniform(0, np.pi)
+            d = (x - cx) * np.cos(ang) + (y - cy) * np.sin(ang)
+            z = np.clip(d / rng.uniform(0.6, 2.5), -60.0, 60.0)
+            luma = luma + rng.uniform(-45.0, 45.0) / (1.0 + np.exp(-z))
+
+        sat = rng.uniform(0.06, 0.35)
+        cb = field(alpha + 0.6) * 28.0 * sat * rng.uniform(0.5, 1.5)
+        cr = field(alpha + 0.6) * 28.0 * sat * rng.uniform(0.5, 1.5)
+
+        # Film grain: luma-dependent, mostly common-mode.
+        g0, g1 = rng.uniform(0.4, 1.4), rng.uniform(0.04, 0.18)
+        sigma = g0 + g1 * np.sqrt(np.clip(luma, 0.0, 255.0))
+        common = rng.normal(0.0, 1.0, (size, size)) * sigma
+        lum_n = luma + common
+
+        r = lum_n + 1.402 * cr + rng.normal(0, 0.3, (size, size)) * sigma
+        g = lum_n - 0.344136 * cb - 0.714136 * cr
+        b = lum_n + 1.772 * cb + rng.normal(0, 0.3, (size, size)) * sigma
+        rgb = np.clip(np.stack([r, g, b], -1), 0.0, 255.0).astype(np.uint8)
+        out.append(
+            SourceImage(name=f"{PHOTO_CORPUS_VERSION}-{i:03d}", rgb=rgb)
+        )
+    return out
+
+
 def load_sources(corpus: Path, limit: int) -> List[SourceImage]:
     """Tier selection by limit (<=3 TINY, <=5 SMALL, <=15 MEDIUM, else all).
-    reference: crates/codec-iter/src/source.rs:47-60."""
+    reference: crates/codec-iter/src/source.rs:47-60.
+
+    The virtual corpus names ``synthetic-v1`` and ``synthetic-photo-v1``
+    resolve to the in-memory procedural generators (no files needed) —
+    handy where no image corpus ships (this environment).
+    """
+    name = str(corpus)
+    if name == SYNTHETIC_CORPUS_VERSION:
+        return synthetic_sources(n=limit or 3)
+    if name == PHOTO_CORPUS_VERSION:
+        return photo_sources(n=limit or 8)
     corpus = Path(corpus)
     if not corpus.is_dir():
         raise ImageLoadError(f"corpus directory not found: {corpus}")

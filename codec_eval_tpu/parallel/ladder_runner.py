@@ -59,6 +59,7 @@ def sweep_corpus_ladders(
     with_sizes: "bool | str" = True,
     images_per_chunk: int = 8,
     trellis_lambda: float = 0.0,
+    multihost: bool = False,
 ) -> CorpusLadders:
     """Evaluate tpujpeg quality ladders for a same-size image corpus.
 
@@ -73,6 +74,15 @@ def sweep_corpus_ladders(
     coefficient planes cross the host boundary at all — entropy-exact
     sizes, 0xFF stuffing estimated (~±0.15%).  True entropy-codes fetched
     coefficients on host for exact bytes.
+
+    ``multihost=True`` runs the SAME SPMD step over a multi-process global
+    mesh (jax.distributed must be initialized and ``mesh`` span all
+    processes' devices): every process passes the identical full ``images``
+    list, ships only its contiguous per-process slice of each chunk
+    (``host_local_batch_to_global``), and the step all-gathers results over
+    the batch axis so every host returns the complete CorpusLadders.
+    Requires ``with_sizes`` in {False, "device"} (exact host entropy coding
+    would duplicate per-host work; use the device rate statistics).
     """
     import jax
     import jax.numpy as jnp
@@ -100,6 +110,11 @@ def sweep_corpus_ladders(
     size_mode = {True: "exact", False: "none"}.get(with_sizes, with_sizes)
     if size_mode not in ("exact", "none", "device"):
         raise ValueError(f"with_sizes must be bool or 'device', got {with_sizes!r}")
+    if multihost and size_mode == "exact":
+        raise ValueError(
+            "multihost ladders need with_sizes=False or 'device' "
+            "(host entropy coding would run once per process)"
+        )
     with_sizes = size_mode != "none"
 
     if mesh is None:
@@ -158,15 +173,22 @@ def sweep_corpus_ladders(
             lambda *xs: jnp.stack(xs), *score_rows
         )
         coefs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *coef_rows)
+        if multihost:
+            # All-gather over ICI/DCN so every process can read the full
+            # chunk results (each process's devices then hold replicas).
+            gather = lambda x: jax.lax.all_gather(x, "batch", axis=0, tiled=True)
+            scores = jax.tree_util.tree_map(gather, scores)
+            coefs = jax.tree_util.tree_map(gather, coefs)
         return scores, coefs
 
     spec_in = P("batch", None, None, None)
+    spec_out = P(None) if multihost else P("batch")
     step = jax.jit(
         shard_map(
             local_ladders,
             mesh=mesh,
             in_specs=(spec_in,),
-            out_specs=(P("batch"), P("batch")),
+            out_specs=(spec_out, spec_out),
             check_rep=False,
         )
     )
@@ -198,7 +220,20 @@ def sweep_corpus_ladders(
             real = len(chunk)
             while len(chunk) < chunk_n:
                 chunk.append(chunk[-1])
-            scores, coefs = step(jnp.asarray(np.stack(chunk)))
+            stacked = np.stack(chunk)
+            if multihost:
+                from .multihost import host_local_batch_to_global
+
+                # Every process sees the same `images`; ship only this
+                # process's contiguous slice of the chunk's batch axis.
+                per = chunk_n // jax.process_count()
+                pid = jax.process_index()
+                staged = host_local_batch_to_global(
+                    mesh, stacked[pid * per : (pid + 1) * per]
+                )
+            else:
+                staged = jnp.asarray(stacked)
+            scores, coefs = step(staged)
             host_scores = _fetch_scores(scores)
             for k, v in host_scores.items():
                 all_scores.setdefault(k, []).append(v[:real])

@@ -7,7 +7,13 @@ feeds its host-local shard of a synthetic corpus through
 replicated corpus means — which must be identical across processes and
 equal to the single-process result.
 
-Usage: python multihost_worker.py <process_id> <num_processes> <port>
+Usage: python multihost_worker.py <process_id> <num_processes> <port> [mode]
+
+mode "score" (default): SPMD metric scoring + replicated corpus means.
+mode "ladder": the device-resident tpujpeg ladder over the global mesh
+(``sweep_corpus_ladders(multihost=True)``) with device-side rate stats;
+prints per-image score/size digests that must match across processes and
+equal the single-process result.
 """
 
 import os
@@ -33,7 +39,40 @@ def synthetic_corpus(n=16, size=32):
     return refs, dists
 
 
-def main(pid: int, nprocs: int, port: int) -> None:
+def _ladder_corpus(n=8, size=48):
+    rng = np.random.default_rng(77)
+    y, x = np.mgrid[0:size, 0:size]
+    images = []
+    for i in range(n):
+        base = 120 + 60 * np.sin(x / (7.0 + i)) + 45 * np.cos(y / (5.0 + i))
+        img = np.clip(
+            np.stack([base, base * 0.9 + 10, base * 0.8 + 20], -1)
+            + rng.normal(0, 5, (size, size, 3)),
+            0,
+            255,
+        ).astype(np.uint8)
+        images.append(img)
+    return images
+
+
+def _run_ladder(mesh) -> None:
+    from codec_eval_tpu.parallel.ladder_runner import sweep_corpus_ladders
+
+    res = sweep_corpus_ladders(
+        _ladder_corpus(),
+        [50.0, 85.0],
+        mesh=mesh,
+        metrics=("ssimulacra2", "psnr"),
+        with_sizes="device",
+        multihost=True,
+    )
+    s2 = res.scores["ssimulacra2"]
+    digest = " ".join(f"{v:.6f}" for v in s2.reshape(-1))
+    sz = " ".join(str(int(v)) for v in res.sizes.reshape(-1))
+    print(f"LADDER s2=[{digest}] sizes=[{sz}]")
+
+
+def main(pid: int, nprocs: int, port: int, mode: str = "score") -> None:
     from codec_eval_tpu.parallel.mesh import sharded_score_fn
     from codec_eval_tpu.parallel.multihost import (
         global_batch_mesh,
@@ -51,6 +90,9 @@ def main(pid: int, nprocs: int, port: int) -> None:
     assert len(jax.devices()) == 4 * nprocs, len(jax.devices())
 
     mesh = global_batch_mesh(n_space=1)
+    if mode == "ladder":
+        _run_ladder(mesh)
+        return
     refs, dists = synthetic_corpus()
 
     # Each host materializes only its strided share, in global batch order:
@@ -71,4 +113,9 @@ def main(pid: int, nprocs: int, port: int) -> None:
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]))
+    main(
+        int(sys.argv[1]),
+        int(sys.argv[2]),
+        int(sys.argv[3]),
+        sys.argv[4] if len(sys.argv) > 4 else "score",
+    )

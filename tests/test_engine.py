@@ -326,3 +326,40 @@ def test_batch_scorer_detects_reference_mutation(rng):
     ref[:] = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)  # in place
     r2 = scorer.score_batch(ref, cand)
     assert r2[0].psnr < 30.0  # re-precomputed against the NEW content
+
+
+def test_arbitrary_codec_exception_becomes_codec_error_and_skips():
+    """Third-party codec callbacks raise arbitrary exceptions; the callback
+    boundary wraps them into CodecError (the reference's EncodeFn signature
+    forces failures into Error::Codec, src/eval/session.rs:181-186) so the
+    per-cell skip policy applies."""
+    import numpy as np
+
+    import codec_eval_tpu as ce
+    from codec_eval_tpu.errors import CodecError
+
+    img = ce.ImageData.rgb8(
+        np.full((32, 32, 3), 128, np.uint8)
+    )
+
+    def bad_encode(image, request):
+        raise ValueError("third-party blowup")
+
+    cfg = (
+        ce.EvalConfig.builder()
+        .report_dir("/tmp/codec-eval-test-reports")
+        .metrics(ce.MetricConfig.fast())
+        .quality_levels([50.0])
+        .build()
+    )
+    session = ce.EvalSession(cfg)
+    session.add_codec("bad", "1", bad_encode)
+
+    import pytest as _pytest
+
+    with _pytest.raises(CodecError, match="third-party blowup"):
+        session.evaluate_image("x", img)
+
+    report = session.evaluate_corpus([("x", img)], on_error="skip")
+    rows = [r for ir in report.images for r in ir.results]
+    assert len(rows) == 1 and rows[0].metrics.ssimulacra2 is None

@@ -98,3 +98,33 @@ def test_run_eval_empty_images():
 
     res = run_eval([], build_codec("jpeg"), [75, 85, 95])
     assert res.points == [] and res.total_ms == 0
+
+
+def test_photo_sources_statistics_and_determinism():
+    """Photo-statistics corpus (VERDICT r2 #6): 1/f spectral slope in the
+    natural-image band, nonzero chroma, film grain, deterministic."""
+    import numpy as np
+
+    from codec_eval_tpu.iter.source import PHOTO_CORPUS_VERSION, photo_sources
+
+    a = photo_sources(2, 128)
+    b = photo_sources(2, 128)
+    assert a[0].name.startswith(PHOTO_CORPUS_VERSION)
+    np.testing.assert_array_equal(a[0].rgb, b[0].rgb)  # deterministic
+    assert a[0].rgb.shape == (128, 128, 3) and a[0].rgb.dtype == np.uint8
+
+    for s in a:
+        im = s.rgb.astype(np.float64)
+        luma = im.mean(-1)
+        # Radial power-spectrum slope in the natural-image band (-1.4..-2.6).
+        F = np.abs(np.fft.rfft2(luma - luma.mean())) ** 2
+        fy = np.fft.fftfreq(128)[:, None]
+        fx = np.fft.rfftfreq(128)[None, :]
+        f = np.hypot(fy, fx).ravel()
+        p = F.ravel()
+        sel = (f > 0.02) & (f < 0.4)
+        slope = np.polyfit(np.log(f[sel]), np.log(p[sel] + 1e-12), 1)[0]
+        assert -2.8 < slope < -1.2, slope
+        # Chroma present but lower-energy than luma.
+        chroma_e = (im - luma[..., None]).std()
+        assert 0.5 < chroma_e < luma.std(), (chroma_e, luma.std())

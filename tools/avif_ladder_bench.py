@@ -25,8 +25,17 @@ N_IMAGES = 6
 
 
 def main() -> None:
+    import argparse
+
     import jax
     import jax.numpy as jnp
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--photo", action="store_true",
+                        help="use the photo-statistics corpus "
+                        "(iter.source.photo_sources) instead of the "
+                        "trig-pattern bases")
+    args = parser.parse_args()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
@@ -36,7 +45,14 @@ def main() -> None:
     from codec_eval_tpu.stats.summary import bd_rate
     from tools.butteraugli_parity import make_base_images
 
-    bases = [b for b in make_base_images(SIZE)[:N_IMAGES]]
+    if args.photo:
+        from codec_eval_tpu.iter.source import PHOTO_CORPUS_VERSION, photo_sources
+
+        bases = [s.rgb for s in photo_sources(N_IMAGES, SIZE)]
+        print(f"corpus: {PHOTO_CORPUS_VERSION} ({N_IMAGES}x {SIZE}px)")
+    else:
+        bases = [b for b in make_base_images(SIZE)[:N_IMAGES]]
+        print(f"corpus: synthetic-trig ({N_IMAGES}x {SIZE}px)")
     score = jax.jit(ssimulacra2_batch)
 
     results = {}

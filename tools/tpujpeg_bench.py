@@ -59,6 +59,11 @@ def main() -> None:
     parser.add_argument("--clean", action="store_true",
                         help="use the noise-free corpus (representative "
                         "for AQ/trellis numbers)")
+    parser.add_argument("--photo", action="store_true",
+                        help="use the photo-statistics corpus "
+                        "(iter.source.photo_sources: 1/f spectra, mixed "
+                        "chroma saturation, film grain — the closest "
+                        "stand-in for CID22 photographs)")
     parser.add_argument("--subsampling", default="420", choices=["420", "444"])
     parser.add_argument("--colorspace", default="ycbcr", choices=["ycbcr", "xyb"])
     args = parser.parse_args()
@@ -75,8 +80,16 @@ def main() -> None:
     from codec_eval_tpu.kernels.ssimulacra2 import ssimulacra2_batch
     from codec_eval_tpu.stats.summary import bd_rate
 
-    gen = _clean_photo if args.clean else _photo
-    refs = [gen(SIZE, SIZE, 40 + i) for i in range(N_IMAGES)]
+    if args.photo:
+        from codec_eval_tpu.iter.source import PHOTO_CORPUS_VERSION, photo_sources
+
+        refs = [s.rgb for s in photo_sources(N_IMAGES, SIZE)]
+        corpus_label = PHOTO_CORPUS_VERSION
+    else:
+        gen = _clean_photo if args.clean else _photo
+        refs = [gen(SIZE, SIZE, 40 + i) for i in range(N_IMAGES)]
+        corpus_label = "synthetic-clean" if args.clean else "synthetic-noisy"
+    print(f"corpus: {corpus_label} ({N_IMAGES}x {SIZE}px)")
     if args.colorspace == "xyb":
         args.subsampling = "444"
     pil_sub = 2 if args.subsampling == "420" else 0
