@@ -453,11 +453,22 @@ def run_large_scenario(jax, jnp) -> dict:
     def jpegged(img, q=75):
         return codecs["jpeg-420"](img, q)
 
-    mixed = []
-    for size, n in ((512, 4), (800, 2), (2048, 1)):
-        for i in range(n):
-            r = _photo(size, size, 950 + i)
-            mixed.append((r, jpegged(r)))
+    def make_mixed(seed0):
+        out = []
+        for size, n in ((512, 4), (800, 2), (2048, 1)):
+            for i in range(n):
+                r = _photo(size, size, seed0 + i)
+                out.append((r, jpegged(r)))
+        return out
+
+    # Warm pass compiles the three bucket programs; the timed pass uses
+    # FRESH pixels (runtime memoization) so it measures staging + scoring,
+    # not compilation.  Wall-clock includes the host->device tunnel
+    # transfers, which cost ~100x PCIe here — quoted for transparency.
+    res = score_pairs_sharded(
+        make_mixed(950), mesh=mesh, masked=True, granularity=128
+    )
+    mixed = make_mixed(970)
     t0 = time.perf_counter()
     res = score_pairs_sharded(mixed, mesh=mesh, masked=True, granularity=128)
     masked_mixed_pps = len(mixed) / (time.perf_counter() - t0)

@@ -230,10 +230,66 @@ def _blur_precision():
     )
 
 
+#: Minimum number of 128-blocks before the blur matmuls switch to the
+#: block-tridiagonal form: at n blocks the banded form does 3n-2 block
+#: matmuls vs n^2 dense, so 2048px (n=16) saves 81% of the blur FLOPs
+#: while 512px (n=4) saves only 37% (and measured a wash under dispatch
+#: overhead).  Override with CODEC_EVAL_BA_BANDED_MIN_BLOCKS.
+_BANDED_MIN_BLOCKS = int(
+    __import__("os").environ.get("CODEC_EVAL_BA_BANDED_MIN_BLOCKS", "8")
+)
+
+
+def _banded_blocks(n: int, sigma: float):
+    """Block-tridiagonal decomposition of the (n, n) blur operator.
+
+    Valid whenever the band (2*radius+1 <= 2.25*sigma*2+1, max 33 for
+    SIGMA_LF) fits within one 128 block — true for every butteraugli
+    sigma.  Returns (D, U, L): diag blocks (nb,128,128), upper blocks
+    (nb-1,...) applying to x_{i+1}, lower blocks applying to x_{i-1}.
+    """
+    m = _blur_matrix(n, sigma)
+    nb = n // 128
+    D = np.stack([m[i * 128 : (i + 1) * 128, i * 128 : (i + 1) * 128] for i in range(nb)])
+    U = np.stack([m[i * 128 : (i + 1) * 128, (i + 1) * 128 : (i + 2) * 128] for i in range(nb - 1)])
+    L = np.stack([m[(i + 1) * 128 : (i + 2) * 128, i * 128 : (i + 1) * 128] for i in range(nb - 1)])
+    return D, U, L
+
+
+def _banded_rows(planes: jnp.ndarray, n: int, sigma: float, prec) -> jnp.ndarray:
+    """Row (sublane-axis) blur via block-tridiagonal MXU matmuls."""
+    D, U, L = (jnp.asarray(b) for b in _banded_blocks(n, sigma))
+    nb = n // 128
+    lead = planes.shape[:-2]
+    w = planes.shape[-1]
+    xb = planes.reshape(lead + (nb, 128, w))
+    out = jnp.einsum("boi,...bik->...bok", D, xb, precision=prec)
+    up = jnp.einsum("boi,...bik->...bok", U, xb[..., 1:, :, :], precision=prec)
+    lo = jnp.einsum("boi,...bik->...bok", L, xb[..., :-1, :, :], precision=prec)
+    out = out.at[..., :-1, :, :].add(up).at[..., 1:, :, :].add(lo)
+    return out.reshape(lead + (n, w))
+
+
 def _blur(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """Blur (..., H, W) planes with the model's renormalized Gaussian."""
+    """Blur (..., H, W) planes with the model's renormalized Gaussian.
+
+    Lowered as dense (n, n) matmuls on the MXU for small images; for
+    large ones (>= _BANDED_MIN_BLOCKS 128-blocks per axis) the operator
+    is block-tridiagonal — the band is at most 33 — and runs as 3nb-2
+    batched block matmuls instead (81% fewer FLOPs at 2048px).
+    """
     h, w = planes.shape[-2], planes.shape[-1]
     prec = _blur_precision()
+    if (
+        h % 128 == 0
+        and h // 128 >= _BANDED_MIN_BLOCKS
+        and w % 128 == 0
+        and w // 128 >= _BANDED_MIN_BLOCKS
+    ):
+        out = _banded_rows(planes, h, sigma, prec)
+        out = jnp.swapaxes(out, -1, -2)
+        out = _banded_rows(out, w, sigma, prec)
+        return jnp.swapaxes(out, -1, -2)
     bh = jnp.asarray(_blur_matrix(h, sigma))
     bw = jnp.asarray(_blur_matrix(w, sigma))
     out = jnp.einsum("ij,...jk->...ik", bh, planes, precision=prec)
@@ -367,14 +423,29 @@ def _separate_frequencies(
     mrow: Optional[jnp.ndarray] = None,
     mcol: Optional[jnp.ndarray] = None,
 ) -> PsychoImage:
+    if mask2d is not None:
+        xyb = xyb * mask2d
+        lf = _blur_masked(xyb, SIGMA_LF, mrow, mcol)
+    else:
+        lf = _blur(xyb, SIGMA_LF)
+    return _bands_from_lf(xyb, lf, mask2d, mrow, mcol)
+
+
+def _bands_from_lf(
+    xyb: jnp.ndarray,
+    lf: jnp.ndarray,
+    mask2d: Optional[jnp.ndarray] = None,
+    mrow: Optional[jnp.ndarray] = None,
+    mcol: Optional[jnp.ndarray] = None,
+) -> PsychoImage:
+    """Band chain given XYB and its LF blur (mask2d implies xyb/lf are
+    already mask-scaled)."""
+
     def blur(p, sigma):
         if mask2d is None:
             return _blur(p, sigma)
         return _blur_masked(p * mask2d, sigma, mrow, mcol)
 
-    if mask2d is not None:
-        xyb = xyb * mask2d
-    lf = blur(xyb, SIGMA_LF)
     mf = xyb - lf
     mf_b = blur(mf[2:3], SIGMA_MF)[0]
     hf = mf[:2]
@@ -1002,6 +1073,13 @@ def _psycho_batch(lin_scaled: jnp.ndarray) -> PsychoImage:
 
     xyb = opsin_xyb_batch_pallas(lin_scaled, _OPSIN_CONSTS)
     lf = jax.vmap(lambda p: _blur(p, SIGMA_LF))(xyb)
+    w = lin_scaled.shape[-1]
+    if ((w + 127) // 128) * 128 >= 1024:
+        # CLIC-class widths: the fused bands kernel's row-slab temporaries
+        # exceed the 16 MB scoped-VMEM budget even at tile 8 (measured
+        # 17 MB at 2048px) — run the band chain in XLA, whose blurs now
+        # lower to block-banded MXU matmuls (81% fewer FLOPs at 2048px).
+        return jax.vmap(_bands_from_lf)(xyb, lf)
     bands = bands_batch_pallas(xyb, lf, _BAND_CONSTS)
     lf_vals = jnp.stack(
         [

@@ -162,7 +162,14 @@ def opsin_xyb_batch_pallas(
 
     wp = ((w + 127) // 128) * 128
     wp_in = ((wp + 2 * halo + 127) // 128) * 128
+    # Scoped-VMEM model: Mosaic keeps ~22 (tile+2*halo, wp_in)-row f32
+    # temporaries live for the unrolled blur+gamma chain (27.8 MB measured
+    # at tile=128, wp=2048 — a stack OOM; 8.2 MB at wp=512).  Halve the
+    # row tile until the model fits: 512px keeps tile=128, 2048px drops
+    # to 32.
     tile = min(128, ((h + 7) // 8) * 8)
+    while tile > 8 and 23 * (tile + 2 * halo) * wp_in * 4 > 14 * 1024 * 1024:
+        tile //= 2
     hp = ((h + tile - 1) // tile) * tile
     nt = hp // tile
 

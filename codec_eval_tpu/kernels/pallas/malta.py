@@ -215,7 +215,12 @@ def malta_ac_batch_pallas(
     # the 6-channel input block fits comfortably in VMEM.
     ch_mode = os.environ.get("CODEC_EVAL_MALTA_CHANNELS", "auto")
     if ch_mode == "auto":
-        fits = 6 * slab_rows * wp_in * 4 <= 4 * 1024 * 1024
+        # The six unrolled channel sweeps keep their line-sum temporaries
+        # live together: measured 16.7 MB scoped VMEM at wp 2048 / tile 24
+        # (an OOM), comfortably under budget at wp <= 1024.  Fused wins
+        # ~3.5% end-to-end at 512px (6x fewer grid steps); fall back to the
+        # channel-grid form on CLIC-class widths.
+        fits = 6 * slab_rows * wp_in * 4 <= 4 * 1024 * 1024 and wp_in <= 1024
         ch_mode = "fused" if fits else "grid"
     if ch_mode == "fused":
         kernel = functools.partial(

@@ -85,6 +85,12 @@ def candidate_moments_pallas(
     # DMA extents must be 8-row aligned, so the slab rounds tile+2r up to a
     # multiple of 8 and the input carries matching extra zero rows.
     tile = min(TILE_H, ((h + 7) // 8) * 8)
+    # Width-scaled row tile: the per-step scoped-VMEM footprint grows
+    # linearly with the lane extent; keep (tile x padded width) at or
+    # under its 512px-proven budget so 2048px images fit (VERDICT r2 #3).
+    _wp_est = ((w + 127) // 128) * 128
+    while tile > 8 and tile * _wp_est > 128 * 512:
+        tile //= 2
     hp = ((h + tile - 1) // tile) * tile
     slab_rows = ((tile + 2 * r + 7) // 8) * 8
     bottom_pad = (slab_rows - tile - r) + (hp - h)
