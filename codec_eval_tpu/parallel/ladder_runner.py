@@ -143,16 +143,54 @@ def sweep_corpus_ladders(
     pre_fn = _build_precompute(
         h, w, want["dssim"], want["ssimulacra2"], want["butteraugli"], False
     )
+    # Score-chunk the quality axis for large images: the all-metric scorer's
+    # temporaries scale with (candidates x pixels), and a full 12-quality
+    # ladder at 2048px measured 20 GB of HBM temps (an OOM).  ~21 Mpix of
+    # candidates per scoring sub-call is proven at both 512px (25-cand
+    # chunks) and 2048px (5-cand chunks).
+    import os as _os
+
+    budget_px = int(_os.environ.get("CODEC_EVAL_LADDER_SCORE_PX", "21000000"))
+    q_chunk = max(1, min(n_q, budget_px // (h * w)))
     scorer = _build_chunk_scorer(
-        h, w, n_q,
+        h, w, q_chunk,
         want["dssim"], want["ssimulacra2"], want["butteraugli"], want["psnr"],
         planar=True,
     )
+    q_tail = n_q % q_chunk
+    scorer_tail = (
+        _build_chunk_scorer(
+            h, w, q_tail,
+            want["dssim"], want["ssimulacra2"], want["butteraugli"],
+            want["psnr"], planar=True,
+        )
+        if q_tail and q_chunk < n_q
+        else None
+    )
+
+    def score_ladder(pre, cands):
+        if q_chunk >= n_q:
+            return scorer(pre, cands)
+        parts = []
+        for qs in range(0, n_q - q_tail, q_chunk):
+            parts.append(scorer(pre, cands[qs : qs + q_chunk]))
+        if scorer_tail is not None:
+            parts.append(scorer_tail(pre, cands[n_q - q_tail :]))
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs), *parts
+        )
     qtabs = jnp.asarray(_qtabs_for(qualities))
     aq = jnp.float32(aq_strength)
 
     # Per-chunk SPMD step: each device loops its local images with the
     # exact single-image programs (no extra batch rank on the kernels).
+    # The local unroll scales DOWN with image area — XLA overlaps the
+    # unrolled iterations and their live sets add up (8 x 2048px ladders
+    # measured an HBM OOM; 8 x 512px is the proven default).  It never
+    # scales up: each extra unrolled image retraces the whole pipeline,
+    # so small images would pay compile time for no throughput.
+    if h * w > 512 * 512:
+        images_per_chunk = max(1, images_per_chunk * (512 * 512) // (h * w))
     chunk_n = max(images_per_chunk, n_batch)
     chunk_n = ((chunk_n + n_batch - 1) // n_batch) * n_batch
     n_local = chunk_n // n_batch
@@ -163,7 +201,7 @@ def sweep_corpus_ladders(
         for i in range(n_local):
             img = imgs_local[i]
             cands, coefs = recon(img, qtabs, aq)
-            score_rows.append(scorer(pre_fn(img), cands))
+            score_rows.append(score_ladder(pre_fn(img), cands))
             if rate_stats is not None:
                 # Reduce ladders to packed symbol histograms on device;
                 # the coefficient planes never leave the shard.
