@@ -736,6 +736,37 @@ def _mask_candidate_side(
     return _MASK_DIFF_AC_MUL * (b0 - b1) * (b0 - b1)
 
 
+MASKAC_IMPL = __import__("os").environ.get("CODEC_EVAL_MASKAC_IMPL", "xla")
+
+
+def _mask_diff_ac_batch(pi1_batch: "PsychoImage", b0: jnp.ndarray) -> jnp.ndarray:
+    """Batched candidate-side masking term: (B-stacked PsychoImage, (H, W)
+    reference blur) -> (B, H, W) diff_ac.
+
+    Default is the vmapped XLA path: its dense-matmul sigma-2.7 blur beats
+    the fused Pallas kernel (pallas/maskac.py) on the measured chip —
+    A/B 0.89-0.91x at 512px/25 for both the 1-plane and 4-plane restage
+    forms (tools/experiment_maskac.py) — the restage + launch overhead
+    exceeds the two MXU matmuls it replaces.  CODEC_EVAL_MASKAC_IMPL=
+    pallas keeps the kernel reachable for re-measurement on other TPU
+    generations.
+    """
+    impl = MASKAC_IMPL
+    if impl == "pallas":
+        from .pallas.maskac import mask_diff_ac_batch_pallas
+
+        # combine + diff-precompute fuse into one XLA elementwise pass;
+        # only the blur + squared-diff runs in the kernel (restaging the
+        # four band planes instead measured slower — see pallas/maskac.py).
+        d1 = jax.vmap(
+            lambda pi1: _diff_precompute(_combine_channels_for_masking(pi1))
+        )(pi1_batch)
+        return mask_diff_ac_batch_pallas(
+            d1, b0, _MASK_DIFF_AC_MUL, sigma=SIGMA_MASK
+        )
+    return jax.vmap(lambda pi1: _mask_candidate_side(b0, pi1))(pi1_batch)
+
+
 def _mask_psycho_image(
     pi0: PsychoImage,
     pi1: PsychoImage,
@@ -764,6 +795,7 @@ def _diffmap_psycho(
     mcol: Optional[jnp.ndarray] = None,
     malta_ac: Optional[jnp.ndarray] = None,
     mask_pre: Optional[Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]] = None,
+    diff_ac: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     a = jnp.float32(hf_asymmetry)
     sqrt_a = jnp.sqrt(a)
@@ -808,9 +840,14 @@ def _diffmap_psycho(
 
     if mask_pre is not None:
         # (b0, maskval, dc_maskval) precomputed from the reference once per
-        # sweep; only the candidate-side diff_ac remains per pair.
+        # sweep; only the candidate-side diff_ac remains per pair (itself
+        # precomputed by the batched Pallas kernel when diff_ac is given).
         b0, maskval, dc_maskval = mask_pre
-        ac = ac.at[1].add(_mask_candidate_side(b0, pi1, mask2d, mrow, mcol))
+        ac = ac.at[1].add(
+            diff_ac
+            if diff_ac is not None
+            else _mask_candidate_side(b0, pi1, mask2d, mrow, mcol)
+        )
     else:
         mask, mask_diff_ac = _mask_psycho_image(pi0, pi1, mask2d, mrow, mcol)
         ac = ac.at[1].add(mask_diff_ac)
@@ -1135,12 +1172,13 @@ def butteraugli_batch(
         ac = _malta_ac_batch(stacks)
         if mask_pre is None:
             mask_pre = _mask_pre_of(pi0)
+        dac = _mask_diff_ac_batch(pi1_batch, mask_pre[0])
         return jax.vmap(
-            lambda pi1, a: _diffmap_psycho(
+            lambda pi1, a, d: _diffmap_psycho(
                 pi0, pi1, params.hf_asymmetry, params.xmul,
-                malta_ac=a, mask_pre=mask_pre,
+                malta_ac=a, mask_pre=mask_pre, diff_ac=d,
             )
-        )(pi1_batch, ac)
+        )(pi1_batch, ac, dac)
 
     pi1f, stacks_f = stage(ref.pi0_full, lin_full)
     result = resolve(ref.pi0_full, pi1f, stacks_f, ref.mask_full)

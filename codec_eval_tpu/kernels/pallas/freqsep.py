@@ -220,7 +220,7 @@ def opsin_xyb_batch_pallas(
 
 
 def _bands_kernel(
-    xyb_ref, lf_ref, recip332_ref, recip156_ref, out_ref,
+    mfp_ref, recip332_ref, recip156_ref, out_ref,
     *, consts, taps332, taps156, tile, wp, halo,
 ):
     (mf_x_remove, mf_y_amplify, uhf_x_remove, hf_x_remove,
@@ -242,7 +242,11 @@ def _bands_kernel(
         )
 
     # mf_pre = xyb - lf over the full slab (needed at chained-blur extents).
-    mf_pre = xyb_ref[0, :, 0] - lf_ref[0, :, 0]  # (3, tile+2*halo, wp_in)
+    # The subtraction happens in XLA before restaging: the kernel never
+    # reads xyb or lf separately, so staging both would double the input
+    # slab DMA for nothing (measured ~0.5 ms of the bands stage at
+    # 512px/25 before this was factored out).
+    mf_pre = mfp_ref[0, :, 0]  # (3, tile+2*halo, wp_in)
 
     # Stage 1: sigma-3.22 blur of all three mf_pre planes.  Valid rows for
     # the next stage: [halo - r156_need, halo + tile + r156_need).
@@ -323,8 +327,7 @@ def bands_batch_pallas(
     nt = hp // tile
 
     pad = ((0, 0), (0, 0), (halo, hp - h + halo), (halo, wp_in - w - halo))
-    xyb_slabs = _overlap_slabs(jnp.pad(xyb, pad), tile, halo, hp)
-    lf_slabs = _overlap_slabs(jnp.pad(lf, pad), tile, halo, hp)
+    mfp_slabs = _overlap_slabs(jnp.pad(xyb - lf, pad), tile, halo, hp)
 
     # Reciprocal-denominator slabs per blur stage, in each stage's local
     # coordinates.  Stage 1 (sigma 3.22) is evaluated on the inner extent
@@ -363,11 +366,6 @@ def bands_batch_pallas(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 3, 1, tile + 2 * halo, wp_in),
-                lambda bi, ti: (bi, 0, ti, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
                 (1, inner_rows, inner_cols),
                 lambda bi, ti: (ti, 0, 0),
                 memory_space=pltpu.VMEM,
@@ -385,7 +383,7 @@ def bands_batch_pallas(
         ),
         out_shape=jax.ShapeDtypeStruct((b, 7, nt, tile, wp), jnp.float32),
         interpret=interpret,
-    )(xyb_slabs, lf_slabs, jnp.asarray(r332_slabs), jnp.asarray(r156_slabs))
+    )(mfp_slabs, jnp.asarray(r332_slabs), jnp.asarray(r156_slabs))
     out = out.reshape(b, 7, hp, wp)
     if hp != h or wp != w:
         out = out[:, :, :h, :w]
