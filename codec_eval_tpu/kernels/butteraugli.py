@@ -605,6 +605,95 @@ def _malta_ac_stack_xla(stack: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(acc, axis=0)
 
 
+#: Whole-diffmap fused kernel (prologue + sweeps + L2/DC + mask combine in
+#: one Pallas program): "auto" (on TPU when geometry fits), "1" / "0" force.
+MALTA_FUSED_EPI = __import__("os").environ.get("CODEC_EVAL_MALTA_FUSED_EPI", "auto")
+
+
+def _fused_diffmap_ok(h: int, w: int, hf_asymmetry, xmul) -> bool:
+    if not isinstance(hf_asymmetry, (int, float)) or not isinstance(
+        xmul, (int, float)
+    ):
+        return False
+    impl = MALTA_IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if impl != "pallas":
+        return False
+    mode = MALTA_FUSED_EPI
+    if mode == "0":
+        return False
+    from .pallas.malta import fused_epilogue_supported
+
+    return fused_epilogue_supported(h, w)
+
+
+def _fused_diffmap_consts(hf_asymmetry: float, xmul: float):
+    """Static per-channel prologue constants + epilogue weights for the
+    fused Pallas diffmap kernel (same algebra as _malta_diffs_stack /
+    _diffmap_psycho, resolved host-side)."""
+    a = float(hf_asymmetry)
+    sqrt_a = math.sqrt(a)
+    ch_consts = []
+    for _band, _ch, _dest, kind, wbase, norm1, mulli, _pat in _MALTA_CALLS:
+        if kind == "a":
+            wg, wl = wbase * a, wbase / a
+        elif kind == "sqrt_a":
+            wg, wl = wbase * sqrt_a, wbase / sqrt_a
+        else:
+            wg = wl = wbase
+        den = _MALTA_LEN * 2 + 1
+        n2g = mulli * math.sqrt(_MALTA_W0 * wg) / den * norm1
+        n2l = mulli * math.sqrt(_MALTA_W1 * wl) / den * norm1
+        ch_consts.append((n2g, n2l, norm1))
+    epi = (
+        _WMUL[0] * a, _WMUL[0] / a, _WMUL[1] * a, _WMUL[1] / a,
+        _WMUL[3], _WMUL[4], _WMUL[5], _WMUL[6], _WMUL[7], _WMUL[8],
+        float(xmul),
+    )
+    return tuple(ch_consts), epi
+
+
+def _diffmap_fused_batch(
+    pi0: "PsychoImage",
+    pi1_batch: "PsychoImage",
+    hf_asymmetry: float,
+    xmul: float,
+    mask_pre,
+    dac: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched diffmap via the whole-diffmap fused Pallas kernel.
+
+    Bit-equal math to ``vmap(_diffmap_psycho)`` with precomputed malta_ac /
+    mask_pre / diff_ac, but the asymmetric diff planes, Malta accumulators
+    and band L2 terms never materialize in HBM.
+    """
+    from .pallas.malta import malta_diffmap_batch_pallas
+
+    ch_consts, epi = _fused_diffmap_consts(hf_asymmetry, xmul)
+    cand6 = jnp.stack(
+        [
+            pi1_batch.uhf[:, 1], pi1_batch.uhf[:, 0],
+            pi1_batch.hf[:, 1], pi1_batch.hf[:, 0],
+            pi1_batch.mf[:, 1], pi1_batch.mf[:, 0],
+        ],
+        axis=1,
+    )
+    ref6 = jnp.stack(
+        [pi0.uhf[1], pi0.uhf[0], pi0.hf[1], pi0.hf[0], pi0.mf[1], pi0.mf[0]],
+        axis=0,
+    )
+    crest = jnp.concatenate([pi1_batch.mf[:, 2:3], pi1_batch.lf], axis=1)
+    rrest = jnp.concatenate([pi0.mf[2:3], pi0.lf], axis=0)
+    masks = jnp.stack([mask_pre[1], mask_pre[2]], axis=0)
+    return malta_diffmap_batch_pallas(
+        cand6, ref6, crest, rrest, dac, masks,
+        _MALTA_LINES_FULL, _MALTA_LINES_LF, ch_consts, epi,
+        interpret=interpret,
+    )
+
+
 def _malta_ac_batch(stack_b: jnp.ndarray) -> jnp.ndarray:
     """(B, 6, H, W) -> (B, 2, H, W), Pallas on TPU / XLA elsewhere.
 
@@ -1161,18 +1250,23 @@ def butteraugli_batch(
             lambda d: jnp.moveaxis(srgb_u8_to_linear(d), -1, 0)
         )(batch_u8)
 
-    def stage(pi0, lin):
-        pi1 = _psycho_batch(lin * it)
-        stacks = jax.vmap(
-            lambda p1: _malta_diffs_stack(pi0, p1, params.hf_asymmetry)
-        )(pi1)
-        return pi1, stacks
-
-    def resolve(pi0, pi1_batch, stacks, mask_pre):
-        ac = _malta_ac_batch(stacks)
+    def resolve(pi0, pi1_batch, mask_pre, shape):
         if mask_pre is None:
             mask_pre = _mask_pre_of(pi0)
         dac = _mask_diff_ac_batch(pi1_batch, mask_pre[0])
+        if _fused_diffmap_ok(
+            shape[0], shape[1], params.hf_asymmetry, params.xmul
+        ):
+            # Whole-diffmap fused kernel: prologue + sweeps + epilogue in
+            # one Pallas program (pallas/malta.py).
+            return _diffmap_fused_batch(
+                pi0, pi1_batch, params.hf_asymmetry, params.xmul,
+                mask_pre, dac,
+            )
+        stacks = jax.vmap(
+            lambda p1: _malta_diffs_stack(pi0, p1, params.hf_asymmetry)
+        )(pi1_batch)
+        ac = _malta_ac_batch(stacks)
         return jax.vmap(
             lambda pi1, a, d: _diffmap_psycho(
                 pi0, pi1, params.hf_asymmetry, params.xmul,
@@ -1180,10 +1274,12 @@ def butteraugli_batch(
             )
         )(pi1_batch, ac, dac)
 
-    pi1f, stacks_f = stage(ref.pi0_full, lin_full)
-    result = resolve(ref.pi0_full, pi1f, stacks_f, ref.mask_full)
+    pi1f = _psycho_batch(lin_full * it)
+    result = resolve(ref.pi0_full, pi1f, ref.mask_full, (h, w))
     if ref.pi0_sub is not None:
-        pi1s, stacks_s = stage(ref.pi0_sub, jax.vmap(_subsample2x)(lin_full))
-        sub = resolve(ref.pi0_sub, pi1s, stacks_s, ref.mask_sub)
+        pi1s = _psycho_batch(jax.vmap(_subsample2x)(lin_full) * it)
+        sub = resolve(
+            ref.pi0_sub, pi1s, ref.mask_sub, ((h + 1) // 2, (w + 1) // 2)
+        )
         result = jax.vmap(_add_supersampled2x)(result, sub)
     return jnp.max(result, axis=(-2, -1))

@@ -148,6 +148,242 @@ def _malta_kernel_fused_channels(
     out_ref[0, 1] = acc1
 
 
+def _prologue_tile(l0, l1, n2g, n2l, n1):
+    """In-kernel Malta prologue (kernels/butteraugli.py _malta_prologue) with
+    the scalar weight algebra pre-resolved host-side: n2g/n2l are
+    ``mulli*sqrt(W*w)/(2*len+1)*norm1`` for the >/< asymmetry branches."""
+    diff = l0 - l1
+    denom = n1 + 0.5 * (jnp.abs(l0) + jnp.abs(l1))
+    diffs = (n2g / denom) * diff
+    scaler2 = n2l / denom
+    fabs0 = jnp.abs(l0)
+    too_small = 0.55 * fabs0
+    too_big = 1.05 * fabs0
+    impact_pos = jnp.where(
+        l1 < too_small,
+        scaler2 * (too_small - l1),
+        jnp.where(l1 > too_big, -scaler2 * (l1 - too_big), 0.0),
+    )
+    impact_neg = jnp.where(
+        l1 > -too_small,
+        -scaler2 * (l1 + too_small),
+        jnp.where(l1 < -too_big, scaler2 * (-l1 - too_big), 0.0),
+    )
+    return diffs + jnp.where(l0 >= 0, impact_pos, impact_neg)
+
+
+def _l2_tile(v0, v1, w_0gt1, w_0lt1):
+    """In-kernel asymmetric L2 (kernels/butteraugli.py _l2_diff_asymmetric)."""
+    d = v0 - v1
+    total = 0.8 * w_0gt1 * d * d
+    fabs0 = jnp.abs(v0)
+    too_small = 0.4 * fabs0
+    pos = jnp.where(
+        v1 < too_small, too_small - v1, jnp.where(v1 > fabs0, v1 - fabs0, 0.0)
+    )
+    neg = jnp.where(
+        v1 > -too_small, v1 + too_small, jnp.where(v1 < -fabs0, -v1 - fabs0, 0.0)
+    )
+    v = jnp.where(v0 < 0, neg, pos)
+    return total + 0.8 * w_0lt1 * v * v
+
+
+def _malta_kernel_fused_epilogue(
+    cand_ref, ref_ref, crest_ref, rrest_ref, dac_ref, masks_ref, out_ref,
+    shifted, *, tile, wp, w, lines_full, lines_lf, ch_consts, epi
+):
+    """Whole-diffmap grid step: prologue + six channel sweeps + L2/DC band
+    diffs + mask combine + sqrt, per (batch, row-tile) cell.
+
+    Replaces the three-pass flow (diff-stack pass, Malta kernel, XLA
+    epilogue) of butteraugli's _diffmap_psycho: the asymmetric diff planes
+    never touch HBM and the only output is the final diffmap plane.
+    """
+    r = _RADIUS
+    acc0 = jnp.zeros((tile, wp), jnp.float32)
+    acc1 = jnp.zeros((tile, wp), jnp.float32)
+    for ci, (dest, kind) in enumerate(_CHANNEL_SPEC):
+        n2g, n2l, n1 = ch_consts[ci]
+        diffslab = _prologue_tile(
+            ref_ref[0, ci, 0], cand_ref[0, ci, 0], n2g, n2l, n1
+        )
+        _shift_slab(diffslab, shifted, wp=wp, w=w, halo="roll")
+        acc = _sweep_shifted(
+            shifted, lines_full if kind == "full" else lines_lf, tile
+        )
+        if dest == 0:
+            acc0 = acc0 + acc
+        else:
+            acc1 = acc1 + acc
+
+    (l2x_g, l2x_l, l2y_g, l2y_l,
+     wmul_mfx, wmul_mfy, wmul_mfb,
+     wmul_lfx, wmul_lfy, wmul_lfb, xmul) = epi
+    cc = slice(r, r + tile)
+    # Slab channel order: uhf_y, uhf_x, hf_y, hf_x, mf_y, mf_x.
+    ac0 = acc0 + _l2_tile(ref_ref[0, 3, 0][cc], cand_ref[0, 3, 0][cc], l2x_g, l2x_l)
+    ac1 = acc1 + _l2_tile(ref_ref[0, 2, 0][cc], cand_ref[0, 2, 0][cc], l2y_g, l2y_l)
+    d_mfx = ref_ref[0, 5, 0][cc] - cand_ref[0, 5, 0][cc]
+    ac0 = ac0 + wmul_mfx * d_mfx * d_mfx
+    d_mfy = ref_ref[0, 4, 0][cc] - cand_ref[0, 4, 0][cc]
+    ac1 = ac1 + wmul_mfy * d_mfy * d_mfy
+    # Rest channel order: mf_b, lf_x, lf_y, lf_b.
+    d_mfb = rrest_ref[0] - crest_ref[0, 0]
+    ac2 = wmul_mfb * d_mfb * d_mfb
+    ac1 = ac1 + dac_ref[0]
+    d_lfx = rrest_ref[1] - crest_ref[0, 1]
+    d_lfy = rrest_ref[2] - crest_ref[0, 2]
+    d_lfb = rrest_ref[3] - crest_ref[0, 3]
+    dc = (
+        xmul * (wmul_lfx * d_lfx * d_lfx)
+        + wmul_lfy * d_lfy * d_lfy
+        + wmul_lfb * d_lfb * d_lfb
+    )
+    total = masks_ref[1] * dc + masks_ref[0] * (
+        xmul * ac0 + ac1 + ac2
+    )
+    out_ref[0] = jnp.sqrt(jnp.maximum(total, 0.0))
+
+
+def fused_epilogue_supported(h: int, w: int) -> bool:
+    """Whether the whole-diffmap fused kernel fits this image geometry.
+
+    The fused step keeps both six-channel slabs + the band/mask blocks + the
+    unrolled channel sweeps' line-sum temporaries live; the plain
+    fused-channels mode measured 16.7 MB scoped VMEM at wp 2048 / tile 24
+    (an OOM), so mirror its <=1024-lane guard with a 2x input allowance.
+    """
+    wp = ((w + 127) // 128) * 128
+    tile = 48
+    while tile > 8 and (2 * _RADIUS + 13) * (tile + 2 * _RADIUS) * wp * 4 > 8 * 1024 * 1024:
+        tile //= 2
+    slab_rows = tile + 2 * _RADIUS
+    return wp <= 1024 and 12 * slab_rows * wp * 4 <= 8 * 1024 * 1024
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lines_full", "lines_lf", "ch_consts", "epi", "interpret"),
+)
+def malta_diffmap_batch_pallas(
+    cand6: jnp.ndarray,
+    ref6: jnp.ndarray,
+    cand_rest: jnp.ndarray,
+    ref_rest: jnp.ndarray,
+    dac: jnp.ndarray,
+    masks: jnp.ndarray,
+    lines_full,
+    lines_lf,
+    ch_consts,
+    epi,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused butteraugli diffmap: (B, 6, H, W) candidate sweep planes +
+    reference planes + band/mask inputs -> (B, H, W) distance map.
+
+    - ``cand6``/``ref6``: the six Malta band planes (uhf_y, uhf_x, hf_y,
+      hf_x, mf_y, mf_x) of candidate / reference PsychoImages.
+    - ``cand_rest``/``ref_rest``: (B, 4, H, W) / (4, H, W) mf_b + lf planes.
+    - ``dac``: (B, H, W) candidate-side masking term.
+    - ``masks``: (2, H, W) (MaskY, MaskDcY) response maps.
+    - ``ch_consts``: per-channel static (norm2_gt, norm2_lt, norm1).
+    - ``epi``: static epilogue weights (L2 hf x/y pairs, WMUL mf/lf, xmul).
+    """
+    b, c, h, w = cand6.shape
+    assert c == 6, cand6.shape
+    r = _RADIUS
+    wp = ((w + 127) // 128) * 128
+
+    import os
+
+    forced = int(os.environ.get("CODEC_EVAL_MALTA_TILE", "0"))
+    tile = forced if forced > 0 else 48
+    while tile > 8 and (2 * r + 13) * (tile + 2 * r) * wp * 4 > 8 * 1024 * 1024:
+        tile //= 2
+    tile = min(tile, ((h + 7) // 8) * 8)
+    hp = ((h + tile - 1) // tile) * tile
+    nt = hp // tile
+    slab_rows = tile + 2 * r
+
+    def slabs_of(x6):
+        pad = ((0, 0), (0, 0), (r, (hp - h) + r), (0, wp - w))
+        if x6.ndim == 3:
+            x6 = x6[None]
+        xp = jnp.pad(x6, pad)
+        return jnp.stack(
+            [xp[:, :, i * tile : i * tile + slab_rows, :] for i in range(nt)],
+            axis=2,
+        )
+
+    cand_slabs = slabs_of(cand6)
+    ref_slabs = slabs_of(ref6)
+    pad2 = ((0, (hp - h)), (0, wp - w))
+    crest = jnp.pad(cand_rest, ((0, 0),) * 2 + pad2)
+    rrest = jnp.pad(ref_rest, ((0, 0),) + pad2)
+    dac_p = jnp.pad(dac, ((0, 0),) + pad2)
+    masks_p = jnp.pad(masks, ((0, 0),) + pad2)
+
+    kernel = functools.partial(
+        _malta_kernel_fused_epilogue,
+        tile=tile,
+        wp=wp,
+        w=w,
+        lines_full=lines_full,
+        lines_lf=lines_lf,
+        ch_consts=ch_consts,
+        epi=epi,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, nt),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 6, 1, slab_rows, wp),
+                lambda bi, ti: (bi, 0, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 6, 1, slab_rows, wp),
+                lambda bi, ti: (0, 0, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 4, tile, wp),
+                lambda bi, ti: (bi, 0, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (4, tile, wp),
+                lambda bi, ti: (0, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tile, wp),
+                lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2, tile, wp),
+                lambda bi, ti: (0, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, wp),
+            lambda bi, ti: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2 * r + 1, slab_rows, wp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(cand_slabs, ref_slabs, crest, rrest, dac_p, masks_p)
+    if hp != h or wp != w:
+        out = out[:, :h, :w]
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("lines_full", "lines_lf", "interpret", "halo")
 )
