@@ -610,6 +610,42 @@ def _malta_ac_stack_xla(stack: jnp.ndarray) -> jnp.ndarray:
 MALTA_FUSED_EPI = __import__("os").environ.get("CODEC_EVAL_MALTA_FUSED_EPI", "auto")
 
 
+#: Per-(h, w, hf_asymmetry, xmul) results of the fused-diffmap compile probe.
+_FUSED_PROBE_CACHE: dict = {}
+
+
+def _fused_diffmap_compiles(h: int, w: int, hf_asymmetry, xmul) -> bool:
+    """Probe-compile the fused diffmap kernel standalone at this geometry.
+
+    The hand-derived VMEM stack estimates have been wrong twice (ROADMAP
+    documents three other scoped-VMEM surprises; BENCH_r03 died on a fourth),
+    so admission is decided by the Mosaic compiler itself: AOT-compile the
+    kernel at batch 1 (scoped VMEM is per grid step, so batch does not change
+    the verdict) and fall back to the channel-grid/XLA path on any failure.
+    Results are cached per geometry in-process; the persistent JAX
+    compilation cache makes repeat probes cheap across processes.
+    """
+    key = (h, w, float(hf_asymmetry), float(xmul))
+    hit = _FUSED_PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .pallas.malta import malta_diffmap_batch_pallas
+
+    ch_consts, epi = _fused_diffmap_consts(hf_asymmetry, xmul)
+    s = lambda *shape: jax.ShapeDtypeStruct(shape, jnp.float32)
+    try:
+        malta_diffmap_batch_pallas.lower(
+            s(1, 6, h, w), s(6, h, w), s(1, 4, h, w), s(4, h, w),
+            s(1, h, w), s(2, h, w),
+            _MALTA_LINES_FULL, _MALTA_LINES_LF, ch_consts, epi,
+        ).compile()
+        ok = True
+    except Exception:
+        ok = False
+    _FUSED_PROBE_CACHE[key] = ok
+    return ok
+
+
 def _fused_diffmap_ok(h: int, w: int, hf_asymmetry, xmul) -> bool:
     if not isinstance(hf_asymmetry, (int, float)) or not isinstance(
         xmul, (int, float)
@@ -625,7 +661,11 @@ def _fused_diffmap_ok(h: int, w: int, hf_asymmetry, xmul) -> bool:
         return False
     from .pallas.malta import fused_epilogue_supported
 
-    return fused_epilogue_supported(h, w)
+    if not fused_epilogue_supported(h, w):
+        return False
+    if mode == "1":  # forced: trust the static model, skip the probe
+        return True
+    return _fused_diffmap_compiles(h, w, hf_asymmetry, xmul)
 
 
 def _fused_diffmap_consts(hf_asymmetry: float, xmul: float):

@@ -245,20 +245,38 @@ def _malta_kernel_fused_epilogue(
     out_ref[0] = jnp.sqrt(jnp.maximum(total, 0.0))
 
 
-def fused_epilogue_supported(h: int, w: int) -> bool:
-    """Whether the whole-diffmap fused kernel fits this image geometry.
+# Calibrated scoped-VMEM stack model for the fused-epilogue grid step.
+# Mosaic measured the real high-water at 20.85 MB for (slab_rows 56, wp 1024)
+# — the BENCH_r03 compile OOM — i.e. ~91 live f32 (row, lane) slab-planes
+# once the double-buffered six-channel input blocks, the 9 shifted copies and
+# the unrolled sweeps' line-sum temporaries are all counted.  The previous
+# hand-derived 12-plane estimate was ~7x low and admitted wp=1024 at tile 48;
+# this model is anchored on the measurement, keeps 2 MB of margin under the
+# 16 MB scoped limit, and callers additionally confirm each geometry with a
+# real compile probe (kernels/butteraugli.py _fused_diffmap_compiles) so a
+# wrong estimate can never crash a bench run again.
+_FUSED_EPI_PLANES = 91  # 20.85 MB / (56 rows * 1024 lanes * 4 B)
+_FUSED_EPI_BUDGET = 14 * 1024 * 1024
+_TILE_CANDIDATES = (48, 40, 32, 24, 16, 8)  # multiples of 8 (sublane dim)
 
-    The fused step keeps both six-channel slabs + the band/mask blocks + the
-    unrolled channel sweeps' line-sum temporaries live; the plain
-    fused-channels mode measured 16.7 MB scoped VMEM at wp 2048 / tile 24
-    (an OOM), so mirror its <=1024-lane guard with a 2x input allowance.
-    """
+
+def _fused_epi_tile(h: int, w: int) -> int | None:
+    """Largest row tile whose modeled stack footprint fits, or None."""
     wp = ((w + 127) // 128) * 128
-    tile = 48
-    while tile > 8 and (2 * _RADIUS + 13) * (tile + 2 * _RADIUS) * wp * 4 > 8 * 1024 * 1024:
-        tile //= 2
-    slab_rows = tile + 2 * _RADIUS
-    return wp <= 1024 and 12 * slab_rows * wp * 4 <= 8 * 1024 * 1024
+    for tile in _TILE_CANDIDATES:
+        if _FUSED_EPI_PLANES * (tile + 2 * _RADIUS) * wp * 4 <= _FUSED_EPI_BUDGET:
+            return min(tile, ((h + 7) // 8) * 8)
+    return None
+
+
+def fused_epilogue_supported(h: int, w: int) -> bool:
+    """Whether the whole-diffmap fused kernel's modeled footprint fits.
+
+    A static pre-filter only: callers on a real TPU backend must also pass
+    the compile probe before enabling the kernel (see butteraugli.py
+    ``_fused_diffmap_ok``).
+    """
+    return _fused_epi_tile(h, w) is not None
 
 
 @functools.partial(
@@ -297,10 +315,12 @@ def malta_diffmap_batch_pallas(
     import os
 
     forced = int(os.environ.get("CODEC_EVAL_MALTA_TILE", "0"))
-    tile = forced if forced > 0 else 48
-    while tile > 8 and (2 * r + 13) * (tile + 2 * r) * wp * 4 > 8 * 1024 * 1024:
-        tile //= 2
-    tile = min(tile, ((h + 7) // 8) * 8)
+    tile = min(forced, ((h + 7) // 8) * 8) if forced > 0 else _fused_epi_tile(h, w)
+    if tile is None:
+        raise ValueError(
+            f"fused-epilogue Malta kernel does not fit at {h}x{w} "
+            "(see fused_epilogue_supported)"
+        )
     hp = ((h + tile - 1) // tile) * tile
     nt = hp // tile
     slab_rows = tile + 2 * r

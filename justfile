@@ -12,6 +12,12 @@ test-fast:
 bench:
     python bench.py
 
+# TPU preflight gate on the real chip: compile every production geometry,
+# Pallas-vs-XLA parity, oracle fixture on the device path.  Run before any
+# bench or kernel-change commit (CONTRIBUTING.md).
+preflight:
+    python tools/tpu_preflight.py
+
 # Single-chip compile check + 8-device CPU dry run.
 graft:
     python __graft_entry__.py
