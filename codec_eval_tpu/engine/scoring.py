@@ -322,10 +322,18 @@ class BatchScorer:
             candidates_u8 = np.concatenate([candidates_u8, pad], axis=0)
 
         c = self.config
+        # Stage candidates planar (N, 3, H, W): channel-last u8 batches
+        # tile pathologically on TPU (minor dim 3) — the layout swap alone
+        # cost ~2 ms of the 18 ms all-metric chunk at 512px/25 (tools/
+        # profile_ba_batch_stages.py "u8->linear").  The host transpose is
+        # a memcpy-rate pass that overlaps with device compute on PCIe
+        # hosts.
         scorer = _build_chunk_scorer(
-            h, w, padded_n, c.dssim, c.ssimulacra2, c.butteraugli, c.psnr
+            h, w, padded_n, c.dssim, c.ssimulacra2, c.butteraugli, c.psnr,
+            planar=True,
         )
-        raw = scorer(self._precomputed(reference_u8), jnp.asarray(candidates_u8))
+        planar = np.ascontiguousarray(np.moveaxis(candidates_u8, -1, 1))
+        raw = scorer(self._precomputed(reference_u8), jnp.asarray(planar))
         raw = {
             k: v.astype(np.float64)
             for k, v in fetch_scores(raw).items()

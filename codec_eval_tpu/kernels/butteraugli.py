@@ -657,7 +657,16 @@ def _fused_diffmap_ok(h: int, w: int, hf_asymmetry, xmul) -> bool:
     if impl != "pallas":
         return False
     mode = MALTA_FUSED_EPI
-    if mode == "0":
+    if mode in ("0", "auto"):
+        # Measured on-chip (2026-08-21, tools/slope_ba_only.py, 512px/25,
+        # three rounds each, interleaved runs): fused epilogue 12.87 ms
+        # BA-only vs 11.14 ms for the stack+sweep+XLA-epilogue flow.  The
+        # whole-diffmap kernel reads BOTH candidate and reference band
+        # slabs per grid step (12 slab DMAs vs the diff kernel's 6) and
+        # serializes the prologue/epilogue VPU work that XLA overlaps with
+        # HBM traffic in the unfused flow, so it loses at every geometry
+        # measured.  Kept behind CODEC_EVAL_MALTA_FUSED_EPI=1/probe for
+        # re-evaluation on less bandwidth-rich parts.
         return False
     from .pallas.malta import fused_epilogue_supported
 
@@ -1239,13 +1248,12 @@ def _psycho_batch(lin_scaled: jnp.ndarray) -> PsychoImage:
 
     xyb = opsin_xyb_batch_pallas(lin_scaled, _OPSIN_CONSTS)
     lf = jax.vmap(lambda p: _blur(p, SIGMA_LF))(xyb)
-    w = lin_scaled.shape[-1]
-    if ((w + 127) // 128) * 128 >= 1024:
-        # CLIC-class widths: the fused bands kernel's row-slab temporaries
-        # exceed the 16 MB scoped-VMEM budget even at tile 8 (measured
-        # 17 MB at 2048px) — run the band chain in XLA, whose blurs now
-        # lower to block-banded MXU matmuls (81% fewer FLOPs at 2048px).
-        return jax.vmap(_bands_from_lf)(xyb, lf)
+    # CLIC-class widths run the same kernels 2-D tiled (512-lane column
+    # tiles with blur-radius halos, pallas/freqsep.py _col_tile): the row
+    # slabs that used to overflow scoped VMEM at >=1024 lanes (17 MB at
+    # 2048px even at row tile 8) stay bounded regardless of image width,
+    # so the XLA fallback (4.6x slower per pixel at 2048px, measured
+    # tools/profile_ba_batch_stages.py) is gone.
     bands = bands_batch_pallas(xyb, lf, _BAND_CONSTS)
     lf_vals = jnp.stack(
         [

@@ -59,6 +59,54 @@ def _overlap_slabs(x: jnp.ndarray, tile: int, halo: int, hp: int) -> jnp.ndarray
     return jnp.stack(slabs, axis=-3)
 
 
+def _col_tile(w: int, halo: int) -> tuple[int, int, int]:
+    """Column tiling plan: (ctile, nc, ctile_in).
+
+    CLIC-class widths overflow the kernels' scoped-VMEM budgets when a row
+    slab spans the whole (lane-padded) width, so the width axis is tiled
+    too: each column tile carries a ``halo``-lane halo on both sides (the
+    blur chains' full compounded radius), lane-padded up to the next
+    multiple of 128.  nc == 1 reproduces the original single-tile layout
+    (lane pad only on the right), so narrow images keep their exact
+    previous restaging.
+    """
+    wp = ((w + 127) // 128) * 128
+    if wp <= 512:
+        return wp, 1, ((wp + 2 * halo + 127) // 128) * 128
+    ctile = 512
+    nc = (w + ctile - 1) // ctile
+    ctile_in = ((ctile + 2 * halo + 127) // 128) * 128
+    return ctile, nc, ctile_in
+
+
+def _overlap_tiles2d(
+    x: jnp.ndarray,
+    tile: int,
+    halo: int,
+    hp: int,
+    ctile: int,
+    nc: int,
+    ctile_in: int,
+    w: int,
+) -> jnp.ndarray:
+    """(..., H, W) -> (..., nt, nc, tile + 2*halo, ctile_in) overlapping
+    2-D tiles.  ``x`` is the UNPADDED plane; this pads rows to hp + 2*halo
+    and columns so every tile's window is in range (image at column
+    ``halo`` of each tile's local frame, matching the kernels' indexing).
+    """
+    wcp = ctile * nc
+    pad = [(0, 0)] * (x.ndim - 2) + [
+        (halo, hp - x.shape[-2] + halo),
+        (halo, wcp - w + (ctile_in - ctile - 2 * halo) + halo),
+    ]
+    xp = jnp.pad(x, pad)
+    rows = _overlap_slabs(xp, tile, halo, hp)  # (..., nt, rows, Wpad)
+    tiles = [
+        rows[..., j * ctile : j * ctile + ctile_in] for j in range(nc)
+    ]
+    return jnp.stack(tiles, axis=-2 - 1)  # (..., nt, nc, rows, ctile_in)
+
+
 @functools.lru_cache(maxsize=None)
 def _recip_norm(h: int, w: int, sigma: float) -> np.ndarray:
     """1 / (blurred inside-image indicator), 0 outside — (h, w) f32.
@@ -109,10 +157,10 @@ def _opsin_kernel(
     slab_ref, recip_ref, out_ref, *, consts, taps12, tile, wp, halo
 ):
     r = len(taps12) // 2
-    lin = slab_ref[0, :, 0]  # (3, tile + 2*halo, wp_in)
+    lin = slab_ref[0, :, 0, 0]  # (3, tile + 2*halo, ctile_in)
     # Renormalized surround blur at output rows/cols.
     blur_v = _fir_v(lin, taps12, r, tile, halo)
-    blurred = _fir_h(blur_v, taps12, r, wp, halo) * recip_ref[0]
+    blurred = _fir_h(blur_v, taps12, r, wp, halo) * recip_ref[0, 0]
 
     center = lin[:, halo : halo + tile, halo : halo + wp]
 
@@ -145,9 +193,9 @@ def _opsin_kernel(
         gamma = gmul * fast_log2(jnp.maximum(p, 0.0) + goff) - gsub
         sens = jnp.maximum(gamma / p, 1e-4)
         xyb.append(jnp.maximum(cur_c[i] * sens, biases[i]))
-    out_ref[0, 0, 0] = xyb[0] - xyb[1]
-    out_ref[0, 1, 0] = xyb[0] + xyb[1]
-    out_ref[0, 2, 0] = xyb[2]
+    out_ref[0, 0, 0, 0] = xyb[0] - xyb[1]
+    out_ref[0, 1, 0, 0] = xyb[0] + xyb[1]
+    out_ref[0, 2, 0, 0] = xyb[2]
 
 
 @functools.partial(jax.jit, static_argnames=("consts", "interpret"))
@@ -160,56 +208,62 @@ def opsin_xyb_batch_pallas(
     taps12 = _taps(sigma)
     halo = 8  # >= radius(2), multiple of 8 so slab rows stay aligned
 
-    wp = ((w + 127) // 128) * 128
-    wp_in = ((wp + 2 * halo + 127) // 128) * 128
-    # Scoped-VMEM model: Mosaic keeps ~22 (tile+2*halo, wp_in)-row f32
+    # Column tiling bounds the per-step footprint independent of image
+    # width (CLIC-class planes previously fell back to XLA).
+    ctile, nc, ctile_in = _col_tile(w, halo)
+    # Scoped-VMEM model: Mosaic keeps ~22 (tile+2*halo, ctile_in)-row f32
     # temporaries live for the unrolled blur+gamma chain (27.8 MB measured
-    # at tile=128, wp=2048 — a stack OOM; 8.2 MB at wp=512).  Halve the
-    # row tile until the model fits: 512px keeps tile=128, 2048px drops
-    # to 32.
+    # at tile=128, width 2048 — a stack OOM; 8.2 MB at 512).  Halve the
+    # row tile until the model fits.
     tile = min(128, ((h + 7) // 8) * 8)
-    while tile > 8 and 23 * (tile + 2 * halo) * wp_in * 4 > 14 * 1024 * 1024:
+    while tile > 8 and 23 * (tile + 2 * halo) * ctile_in * 4 > 14 * 1024 * 1024:
         tile //= 2
     hp = ((h + tile - 1) // tile) * tile
     nt = hp // tile
+    wcp = ctile * nc
 
-    pad = ((0, 0), (0, 0), (halo, hp - h + halo), (halo, wp_in - w - halo))
-    slabs = _overlap_slabs(jnp.pad(linear_scaled, pad), tile, halo, hp)
-    # (B, 3, nt, tile+2*halo, wp_in) -> grid blocks (1, 3, 1, rows, wp_in)
+    slabs = _overlap_tiles2d(
+        linear_scaled, tile, halo, hp, ctile, nc, ctile_in, w
+    )
+    # (B, 3, nt, nc, tile+2*halo, ctile_in) -> blocks (1,3,1,1,rows,ctile_in)
 
-    recip = np.zeros((hp, wp), np.float32)
+    recip = np.zeros((hp, wcp), np.float32)
     recip[:h, :w] = _recip_norm(h, w, sigma)
-    recip_dev = jnp.asarray(recip)
+    recip_tiles = np.ascontiguousarray(
+        recip.reshape(nt, tile, nc, ctile).transpose(0, 2, 1, 3)
+    )
 
     kernel = functools.partial(
-        _opsin_kernel, consts=consts, taps12=taps12, tile=tile, wp=wp,
+        _opsin_kernel, consts=consts, taps12=taps12, tile=tile, wp=ctile,
         halo=halo,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b, nt),
+        grid=(b, nt, nc),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, 1, tile + 2 * halo, wp_in),
-                lambda bi, ti: (bi, 0, ti, 0, 0),
+                (1, 3, 1, 1, tile + 2 * halo, ctile_in),
+                lambda bi, ti, ci: (bi, 0, ti, ci, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile, wp),
-                lambda bi, ti: (0, ti, 0),
+                (1, 1, tile, ctile),
+                lambda bi, ti, ci: (ti, ci, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 3, 1, tile, wp),
-            lambda bi, ti: (bi, 0, ti, 0, 0),
+            (1, 3, 1, 1, tile, ctile),
+            lambda bi, ti, ci: (bi, 0, ti, ci, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 3, nt, tile, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 3, nt, nc, tile, ctile), jnp.float32
+        ),
         interpret=interpret,
-    )(slabs, recip_dev[None])
-    out = out.reshape(b, 3, hp, wp)
-    if hp != h or wp != w:
+    )(slabs, jnp.asarray(recip_tiles))
+    out = jnp.moveaxis(out, 4, 3).reshape(b, 3, hp, wcp)
+    if hp != h or wcp != w:
         out = out[:, :, :h, :w]
     return out
 
@@ -246,7 +300,7 @@ def _bands_kernel(
     # reads xyb or lf separately, so staging both would double the input
     # slab DMA for nothing (measured ~0.5 ms of the bands stage at
     # 512px/25 before this was factored out).
-    mf_pre = mfp_ref[0, :, 0]  # (3, tile+2*halo, wp_in)
+    mf_pre = mfp_ref[0, :, 0, 0]  # (3, tile+2*halo, ctile_in)
 
     # Stage 1: sigma-3.22 blur of all three mf_pre planes.  Valid rows for
     # the next stage: [halo - r156_need, halo + tile + r156_need).
@@ -257,7 +311,7 @@ def _bands_kernel(
     bv = _fir_v(mf_pre, taps332, r332, inner_rows, inner0)
     mf_blur = (
         _fir_h(bv, taps332, r332, inner_cols, incol0)
-        * recip332_ref[0]
+        * recip332_ref[0, 0]
     )  # (3, inner_rows, inner_cols)
 
     ctr = lambda p: p[..., r156 + 1 : r156 + 1 + tile, r156 + 1 : r156 + 1 + wp]
@@ -277,7 +331,7 @@ def _bands_kernel(
 
     # Stage 2: sigma-1.56 blur of hf at output extent.
     hv = _fir_v(hf, taps156, r156, tile, r156 + 1)
-    hf_blur = _fir_h(hv, taps156, r156, wp, r156 + 1) * recip156_ref[0]
+    hf_blur = _fir_h(hv, taps156, r156, wp, r156 + 1) * recip156_ref[0, 0]
 
     hf_c = hf[:, r156 + 1 : r156 + 1 + tile, r156 + 1 : r156 + 1 + wp]
     uhf_x = remove_range(hf_c[0] - hf_blur[0], uhf_x_remove)
@@ -286,13 +340,13 @@ def _bands_kernel(
     uhf_y = maximum_clamp(hf_c[1] - hfc, maxclamp_uhf) * uhf_y_mul
     hf_y_out = amplify_range(hfc * hf_y_mul, hf_y_amplify)
 
-    out_ref[0, 0, 0] = uhf_x
-    out_ref[0, 1, 0] = uhf_y
-    out_ref[0, 2, 0] = hf_x_out
-    out_ref[0, 3, 0] = hf_y_out
-    out_ref[0, 4, 0] = mf_x
-    out_ref[0, 5, 0] = mf_y
-    out_ref[0, 6, 0] = mf_b
+    out_ref[0, 0, 0, 0] = uhf_x
+    out_ref[0, 1, 0, 0] = uhf_y
+    out_ref[0, 2, 0, 0] = hf_x_out
+    out_ref[0, 3, 0, 0] = hf_y_out
+    out_ref[0, 4, 0, 0] = mf_x
+    out_ref[0, 5, 0, 0] = mf_y
+    out_ref[0, 6, 0, 0] = mf_b
 
 
 @functools.partial(jax.jit, static_argnames=("consts", "interpret"))
@@ -310,81 +364,94 @@ def bands_batch_pallas(
     halo_needed = r332 + r156 + 1
     halo = ((halo_needed + 7) // 8) * 8  # 16 for (7, 3)
 
-    wp = ((w + 127) // 128) * 128
-    wp_in = ((wp + 2 * halo + 127) // 128) * 128
-    # Mosaic keeps ~70 (tile, wp_in)-row f32 temporaries live on the
+    # Column tiling bounds the per-step footprint independent of image
+    # width (CLIC-class planes previously fell back to XLA).
+    ctile, nc, ctile_in = _col_tile(w, halo)
+    # Mosaic keeps ~70 (tile, ctile_in)-row f32 temporaries live on the
     # scoped-VMEM stack for the unrolled two-stage chain (23.1 MB measured
-    # at tile=128, wp=512).  Measured at 512px: tile=48 is fastest (2.08
-    # ms/dispatch for 25 candidates vs 2.78 at 32 and 2.57 at 64 — larger
-    # tiles start spilling); pick the largest tile under a ~9.5 MB model.
+    # at tile=128, width 512).  Measured at 512px: tile=48 is fastest
+    # (2.08 ms/dispatch for 25 candidates vs 2.78 at 32 and 2.57 at 64 —
+    # larger tiles start spilling); pick the largest tile under a ~9.5 MB
+    # model.
     tile = 8
     for cand_tile in (96, 64, 48, 32, 24, 16):
-        if 70 * cand_tile * wp_in * 4 <= 9.5 * 1024 * 1024:
+        if 70 * cand_tile * ctile_in * 4 <= 9.5 * 1024 * 1024:
             tile = cand_tile
             break
     tile = min(tile, ((h + 7) // 8) * 8)
     hp = ((h + tile - 1) // tile) * tile
     nt = hp // tile
+    wcp = ctile * nc
 
-    pad = ((0, 0), (0, 0), (halo, hp - h + halo), (halo, wp_in - w - halo))
-    mfp_slabs = _overlap_slabs(jnp.pad(xyb - lf, pad), tile, halo, hp)
+    mfp_slabs = _overlap_tiles2d(
+        xyb - lf, tile, halo, hp, ctile, nc, ctile_in, w
+    )
 
-    # Reciprocal-denominator slabs per blur stage, in each stage's local
+    # Reciprocal-denominator tiles per blur stage, in each stage's local
     # coordinates.  Stage 1 (sigma 3.22) is evaluated on the inner extent
     # [halo - r156 - 1, halo + tile + r156 + 1) x same for cols; stage 2
     # (sigma 1.56) at the output extent.
     inner_rows = tile + 2 * (r156 + 1)
-    inner_cols = wp + 2 * (r156 + 1)
-
-    def recip_plane(sigma):
-        rp = _recip_norm(h, w, sigma)
-        return rp
+    inner_cols = ctile + 2 * (r156 + 1)
 
     m = r156 + 1
-    r332_full = np.zeros((hp + 2 * m, wp + 2 * m), np.float32)
-    r332_full[m : m + h, m : m + w] = recip_plane(s332)
-    r332_slabs = np.stack(
-        [r332_full[i * tile : i * tile + inner_rows, :inner_cols] for i in range(nt)]
+    r332_full = np.zeros((hp + 2 * m, wcp + 2 * m), np.float32)
+    r332_full[m : m + h, m : m + w] = _recip_norm(h, w, s332)
+    r332_tiles = np.stack(
+        [
+            np.stack(
+                [
+                    r332_full[
+                        i * tile : i * tile + inner_rows,
+                        j * ctile : j * ctile + inner_cols,
+                    ]
+                    for j in range(nc)
+                ]
+            )
+            for i in range(nt)
+        ]
     )
-    r156_full = np.zeros((hp, wp), np.float32)
-    r156_full[:h, :w] = recip_plane(s156)
-    r156_slabs = np.stack(
-        [r156_full[i * tile : i * tile + tile, :wp] for i in range(nt)]
+    r156_full = np.zeros((hp, wcp), np.float32)
+    r156_full[:h, :w] = _recip_norm(h, w, s156)
+    r156_tiles = np.ascontiguousarray(
+        r156_full.reshape(nt, tile, nc, ctile).transpose(0, 2, 1, 3)
     )
 
     kernel = functools.partial(
         _bands_kernel, consts=consts, taps332=taps332, taps156=taps156,
-        tile=tile, wp=wp, halo=halo,
+        tile=tile, wp=ctile, halo=halo,
     )
     out = pl.pallas_call(
         kernel,
-        grid=(b, nt),
+        grid=(b, nt, nc),
         in_specs=[
             pl.BlockSpec(
-                (1, 3, 1, tile + 2 * halo, wp_in),
-                lambda bi, ti: (bi, 0, ti, 0, 0),
+                (1, 3, 1, 1, tile + 2 * halo, ctile_in),
+                lambda bi, ti, ci: (bi, 0, ti, ci, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, inner_rows, inner_cols),
-                lambda bi, ti: (ti, 0, 0),
+                (1, 1, inner_rows, inner_cols),
+                lambda bi, ti, ci: (ti, ci, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, tile, wp),
-                lambda bi, ti: (ti, 0, 0),
+                (1, 1, tile, ctile),
+                lambda bi, ti, ci: (ti, ci, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
         out_specs=pl.BlockSpec(
-            (1, 7, 1, tile, wp),
-            lambda bi, ti: (bi, 0, ti, 0, 0),
+            (1, 7, 1, 1, tile, ctile),
+            lambda bi, ti, ci: (bi, 0, ti, ci, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((b, 7, nt, tile, wp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, 7, nt, nc, tile, ctile), jnp.float32
+        ),
         interpret=interpret,
-    )(mfp_slabs, jnp.asarray(r332_slabs), jnp.asarray(r156_slabs))
-    out = out.reshape(b, 7, hp, wp)
-    if hp != h or wp != w:
+    )(mfp_slabs, jnp.asarray(r332_tiles), jnp.asarray(r156_tiles))
+    out = jnp.moveaxis(out, 4, 3).reshape(b, 7, hp, wcp)
+    if hp != h or wcp != w:
         out = out[:, :, :h, :w]
     return out

@@ -11,9 +11,21 @@ __all__ = [
     "sharded_score_fn",
 ]
 
-from .corpus_runner import CorpusScores, score_pairs_sharded
+from .corpus_runner import (
+    CorpusScores,
+    StagedPairs,
+    score_pairs_sharded,
+    score_staged,
+    stage_pairs_sharded,
+)
 
-__all__ += ["CorpusScores", "score_pairs_sharded"]
+__all__ += [
+    "CorpusScores",
+    "StagedPairs",
+    "score_pairs_sharded",
+    "score_staged",
+    "stage_pairs_sharded",
+]
 
 from .ladder_runner import CorpusLadders, sweep_corpus_ladders
 

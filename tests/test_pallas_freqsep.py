@@ -51,6 +51,46 @@ def test_bands_pallas_matches_xla(shape):
         )
 
 
+@pytest.mark.parametrize("shape", [(1, 24, 1030), (1, 17, 653)])
+def test_opsin_pallas_column_tiled_matches_xla(shape):
+    """Wide (CLIC-class) planes take the 2-D tiled path (nc > 1): column
+    halos + per-tile border renormalization must reproduce the XLA chain
+    exactly, including at the interior tile seams and odd right edges."""
+    b, h, w = shape
+    rng = np.random.default_rng(9)
+    lin = jnp.asarray(rng.random((b, 3, h, w)).astype(np.float32)) * 80.0
+    want = np.asarray(jax.vmap(ba._opsin_dynamics)(lin))
+    got = np.asarray(
+        opsin_xyb_batch_pallas(lin, ba._OPSIN_CONSTS, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(1, 24, 1030), (1, 17, 653)])
+def test_bands_pallas_column_tiled_matches_xla(shape):
+    b, h, w = shape
+    rng = np.random.default_rng(10)
+    lin = jnp.asarray(rng.random((b, 3, h, w)).astype(np.float32)) * 80.0
+    xyb = jax.vmap(ba._opsin_dynamics)(lin)
+    lf = jax.vmap(lambda p: ba._blur(p, ba.SIGMA_LF))(xyb)
+    want = jax.vmap(ba._separate_frequencies)(xyb)
+    got = np.asarray(
+        bands_batch_pallas(xyb, lf, ba._BAND_CONSTS, interpret=True)
+    )
+    wants = [
+        want.uhf[:, 0], want.uhf[:, 1],
+        want.hf[:, 0], want.hf[:, 1],
+        want.mf[:, 0], want.mf[:, 1], want.mf[:, 2],
+    ]
+    for i, name in enumerate(
+        ["uhf_x", "uhf_y", "hf_x", "hf_y", "mf_x", "mf_y", "mf_b"]
+    ):
+        np.testing.assert_allclose(
+            got[:, i], np.asarray(wants[i]), rtol=2e-3, atol=5e-3,
+            err_msg=name,
+        )
+
+
 def test_opsin_absorbance_is_not_a_matmul():
     """Regression guard for the bf16-MXU opsin bug: the absorbance must be
     elementwise FMAs (no dot/tensordot in its jaxpr), because a 3x3

@@ -104,6 +104,39 @@ def test_score_pairs_sharded_masked_mixed_sizes():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_stage_then_score_matches_one_shot():
+    """The staging/scoring split (host-overlap + device-only benchmarking)
+    must produce exactly the one-shot result, staged buckets reusable."""
+    from codec_eval_tpu.parallel import (
+        make_mesh,
+        score_pairs_sharded,
+        score_staged,
+        stage_pairs_sharded,
+    )
+
+    mesh = make_mesh(n_batch=4, n_space=1)
+    rng = np.random.default_rng(4)
+    pairs = []
+    for shape in [(32, 32), (24, 40), (17, 29)]:
+        ref = rng.integers(0, 256, (*shape, 3)).astype(np.uint8)
+        dist = np.clip(
+            ref.astype(np.int16) + rng.integers(-6, 7, ref.shape), 0, 255
+        ).astype(np.uint8)
+        pairs.append((ref, dist))
+    for masked in (False, True):
+        staged = stage_pairs_sharded(
+            pairs, mesh=mesh, masked=masked, granularity=32
+        )
+        got = score_staged(staged)
+        again = score_staged(staged)  # staged buckets are reusable
+        want = score_pairs_sharded(
+            pairs, mesh=mesh, masked=masked, granularity=32
+        )
+        assert got.per_pair == want.per_pair == again.per_pair
+        assert got.means == want.means
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_score_pairs_sharded_masked_metric_filter():
     from codec_eval_tpu.parallel import score_pairs_sharded, make_mesh
 

@@ -49,10 +49,22 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 #: (size, bench chunk) production geometries (bench.py sweep/large scenarios).
 GEOMETRIES = ((512, 25), (800, 25), (1024, 5), (2048, 5))
 
-#: Pallas-vs-XLA per-metric gate.  Measured 9.1e-8 max relative at 512px for
-#: the fused epilogue; 1e-5 leaves room for reduction-order jitter without
-#: admitting real numeric bugs (the bf16 opsin drift measured ~5e-3).
-PARITY_MAX_REL = 1e-5
+#: Pallas-vs-XLA per-metric gates.  Measured on-chip 2026-08-21:
+#: ssimulacra2 7.8e-7, dssim/psnr 0.0, butteraugli 9.7e-5 — the butteraugli
+#: divergence is ENTIRELY the freqsep kernels' FIR summation order (scoring
+#: the fixed batch with CODEC_EVAL_FREQSEP_IMPL=xla reproduces the all-XLA
+#: scores bit-exactly; the Malta and SSIM2 kernels contribute 0).  Per-plane
+#: ~1e-7 relative band differences amplify through the remove_range
+#: cancellations and the diffmap max-norm into ~1e-4 of final score —
+#: 3e-4 BA points here, far inside the oracle gate's 0.5% accuracy bar,
+#: which remains the real arbiter.  The tiers still catch real numeric
+#: bugs: the round-2 bf16 opsin drift measured ~5e-3.
+PARITY_MAX_REL = {
+    "butteraugli": 5e-4,
+    "dssim": 1e-5,
+    "psnr": 1e-5,
+    "ssimulacra2": 1e-5,
+}
 
 ORACLE_MEDIAN_MAX = 0.005
 ORACLE_P90_MAX = 0.02
@@ -107,8 +119,12 @@ def child_scores() -> None:
 
     ref, batch = _parity_batch()
     pre = _build_precompute(512, 512, True, True, True, False)
-    scorer = _build_chunk_scorer(512, 512, len(batch), True, True, True, True)
-    out = scorer(pre(jnp.asarray(ref)), jnp.asarray(batch))
+    # Production staging: planar u8 candidates (engine BatchScorer).
+    scorer = _build_chunk_scorer(
+        512, 512, len(batch), True, True, True, True, planar=True
+    )
+    planar = np.ascontiguousarray(np.moveaxis(batch, -1, 1))
+    out = scorer(pre(jnp.asarray(ref)), jnp.asarray(planar))
     print(json.dumps({k: np.asarray(v).tolist() for k, v in out.items()}))
 
 
@@ -122,12 +138,22 @@ def compile_gate(sizes) -> dict:
     for size, chunk in sizes:
         t0 = time.time()
         pre_fn = _build_precompute(size, size, True, True, True, False)
-        scorer = _build_chunk_scorer(size, size, chunk, True, True, True, True)
         ref_s = jax.ShapeDtypeStruct((size, size, 3), jnp.uint8)
-        batch_s = jax.ShapeDtypeStruct((chunk, size, size, 3), jnp.uint8)
         pre_fn.lower(ref_s).compile()
         pre_avals = jax.eval_shape(pre_fn, ref_s)
-        scorer.lower(pre_avals, batch_s).compile()
+        # Planar (production engine + bench staging) at every geometry;
+        # the channel-last variant (still reachable via _build_scorer in
+        # tools) at 512 only.
+        layouts = [(True, (chunk, 3, size, size))]
+        if size == 512:
+            layouts.append((False, (chunk, size, size, 3)))
+        for planar, bshape in layouts:
+            scorer = _build_chunk_scorer(
+                size, size, chunk, True, True, True, True, planar=planar
+            )
+            scorer.lower(
+                pre_avals, jax.ShapeDtypeStruct(bshape, jnp.uint8)
+            ).compile()
         res[f"{size}px"] = round(time.time() - t0, 1)
         print(f"compile gate {size}px/chunk{chunk}: ok ({res[f'{size}px']}s)",
               file=sys.stderr)
@@ -153,7 +179,9 @@ def parity_gate() -> dict:
         rel = float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-9)))
         worst[k] = rel
         print(f"parity gate {k}: max rel {rel:.2e}", file=sys.stderr)
-    bad = {k: v for k, v in worst.items() if v > PARITY_MAX_REL}
+    bad = {
+        k: v for k, v in worst.items() if v > PARITY_MAX_REL.get(k, 1e-5)
+    }
     if bad:
         raise AssertionError(f"Pallas-vs-XLA parity beyond {PARITY_MAX_REL}: {bad}")
     return {k: f"{v:.1e}" for k, v in worst.items()}
