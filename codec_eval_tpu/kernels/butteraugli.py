@@ -606,7 +606,9 @@ def _malta_ac_stack_xla(stack: jnp.ndarray) -> jnp.ndarray:
 
 
 #: Whole-diffmap fused kernel (prologue + sweeps + L2/DC + mask combine in
-#: one Pallas program): "auto" (on TPU when geometry fits), "1" / "0" force.
+#: one Pallas program): "auto" = OFF (measured net loss: 12.87 vs 11.14 ms
+#: at 512px/5 — the fusion rereads input slabs per grid step and loses on
+#: DMA economics, ROADMAP 2026-08-20); only "1" / "probe" enable it.
 MALTA_FUSED_EPI = __import__("os").environ.get("CODEC_EVAL_MALTA_FUSED_EPI", "auto")
 
 

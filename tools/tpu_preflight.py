@@ -22,8 +22,9 @@ Phases:
 2. **parity gate** — scores a fixed 4-candidate 512px batch through the
    default (Pallas) path and through an all-XLA subprocess
    (CODEC_EVAL_{MALTA,SSIM2,FREQSEP}_IMPL=xla, fused epilogue off); gates
-   max relative diff <= 1e-5 per metric (the fused-epilogue A/B measured
-   9.1e-8 at 512px on 2026-08-19).
+   max relative diff per metric against the PARITY_MAX_REL tiers below
+   (1e-5 for dssim/psnr/ssimulacra2; butteraugli's tier is set by the
+   freqsep FIR summation-order analysis documented at PARITY_MAX_REL).
 3. **oracle gate** — re-runs the committed 24-pair libjxl oracle fixture
    (tests/goldens/butteraugli_oracle.npz) through the production BATCH
    path on the chip, with the same distribution gates as
@@ -58,7 +59,14 @@ GEOMETRIES = ((512, 25), (800, 25), (1024, 5), (2048, 5))
 #: cancellations and the diffmap max-norm into ~1e-4 of final score —
 #: 3e-4 BA points here, far inside the oracle gate's 0.5% accuracy bar,
 #: which remains the real arbiter.  The tiers still catch real numeric
-#: bugs: the round-2 bf16 opsin drift measured ~5e-3.
+#: bugs: the round-2 bf16 opsin drift measured ~5e-3.  The 5e-4 tier is
+#: additionally PINNED to its freqsep cause by a sub-check in parity_gate:
+#: the same batch scored with only CODEC_EVAL_FREQSEP_IMPL=xla must match
+#: all-XLA at the tight 1e-5, so a real drift in any other kernel cannot
+#: hide inside the butteraugli band.  (A bit-exact match against the XLA
+#: blur is unobtainable by construction: the XLA path lowers blurs to
+#: banded-Toeplitz MXU matmuls whose accumulation order is hardware-defined,
+#: while the kernel applies FIR taps sequentially in VMEM.)
 PARITY_MAX_REL = {
     "butteraugli": 5e-4,
     "dssim": 1e-5,
@@ -171,20 +179,46 @@ def parity_gate() -> dict:
             raise RuntimeError(f"child failed:\n{out.stderr[-2000:]}")
         return json.loads(out.stdout.strip().splitlines()[-1])
 
+    def max_rel(a_scores, b_scores):
+        worst = {}
+        for k in sorted(set(a_scores) & set(b_scores)):
+            a = np.asarray(a_scores[k], np.float64)
+            b = np.asarray(b_scores[k], np.float64)
+            worst[k] = float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-9)))
+        return worst
+
     pallas = run({})
     xla = run(XLA_ENV)
-    worst = {}
-    for k in sorted(set(pallas) & set(xla)):
-        a, b = np.asarray(pallas[k], np.float64), np.asarray(xla[k], np.float64)
-        rel = float(np.max(np.abs(a - b) / np.maximum(np.abs(b), 1e-9)))
-        worst[k] = rel
+    worst = max_rel(pallas, xla)
+    for k, rel in worst.items():
         print(f"parity gate {k}: max rel {rel:.2e}", file=sys.stderr)
     bad = {
         k: v for k, v in worst.items() if v > PARITY_MAX_REL.get(k, 1e-5)
     }
     if bad:
         raise AssertionError(f"Pallas-vs-XLA parity beyond {PARITY_MAX_REL}: {bad}")
-    return {k: f"{v:.1e}" for k, v in worst.items()}
+
+    # Sub-check pinning butteraugli's loosened tier to its documented benign
+    # cause: with ONLY freqsep routed to XLA (Malta/SSIM2 kernels and the
+    # epilogue still on the default Pallas path), every metric must match
+    # all-XLA at the TIGHT 1e-5 tier.  A real >1e-5 drift anywhere outside
+    # the freqsep FIR summation order fails HERE even though it would hide
+    # inside butteraugli's 5e-4 band above.
+    freqsep_xla = run({"CODEC_EVAL_FREQSEP_IMPL": "xla"})
+    worst_pinned = max_rel(freqsep_xla, xla)
+    for k, rel in worst_pinned.items():
+        print(f"parity gate (freqsep=xla) {k}: max rel {rel:.2e}",
+              file=sys.stderr)
+    bad = {k: v for k, v in worst_pinned.items() if v > 1e-5}
+    if bad:
+        raise AssertionError(
+            "non-freqsep Pallas kernels drifted beyond the tight 1e-5 tier "
+            f"(butteraugli's 5e-4 tier covers ONLY freqsep FIR order): {bad}"
+        )
+    return {
+        **{k: f"{v:.1e}" for k, v in worst.items()},
+        "freqsep_pinned": {k: f"{v:.1e}" for k, v in worst_pinned.items()},
+    }
 
 
 def oracle_gate() -> dict:
