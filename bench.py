@@ -68,6 +68,15 @@ SWEEP_TARGET_PAIRS_PER_SEC = 1300.0  # CID22 dense sweep <2 s on v5e-8
 CID22_IMAGES = 209
 
 
+def _disp(vals):
+    """min/max/n dispersion record for a tunnel-bound field's repetitions."""
+    vals = [v for v in vals if v is not None]
+    if not vals:
+        return None
+    return {"min": round(min(vals), 1), "max": round(max(vals), 1),
+            "n": len(vals)}
+
+
 def _sweep_codecs():
     """The 4-codec ladder of the flagship scenario, as PIL encode/decode
     callbacks (the reference's mozjpeg 420/444/prog + webp analog)."""
@@ -146,7 +155,7 @@ def run_sweep_scenario(jax, jnp) -> dict:
     ]
 
     def timed_pairs_per_sec(scorer, pre_fn, reps=3):
-        """Returns (sustained, with_staging) pairs/s.
+        """Returns (sustained, staging_rep_values) pairs/s.
 
         ``sustained`` times the dispatch chain over pre-staged device
         inputs — per image one reference-precompute dispatch plus
@@ -162,7 +171,8 @@ def run_sweep_scenario(jax, jnp) -> dict:
         """
         warm = scorer(pre_fn(refs_dev[0]), jnp.asarray(chunks[0][0]))
         _ = [np.asarray(v) for v in warm.values()]
-        best = best_staged = float("inf")
+        best = float("inf")
+        staged_vals = []
         for rep in range(reps):
             # Perturb one byte per chunk in place so repetitions are distinct
             # inputs — the remote runtime memoizes identical (executable,
@@ -190,11 +200,10 @@ def run_sweep_scenario(jax, jnp) -> dict:
             _ = np.asarray(next(iter(outs[-1].values()))[0])
             t1 = time.perf_counter()
             best = min(best, t1 - t0)
-            best_staged = min(best_staged, t1 - t_stage)
-        n = SWEEP_IMAGES * n_cand
-        return n / best, n / best_staged
+            staged_vals.append(SWEEP_IMAGES * n_cand / (t1 - t_stage))
+        return SWEEP_IMAGES * n_cand / best, staged_vals
 
-    all_pps, all_staged_pps = timed_pairs_per_sec(scorer_all, pre_all)
+    all_pps, all_staged_vals = timed_pairs_per_sec(scorer_all, pre_all)
     s2_pps, _ = timed_pairs_per_sec(scorer_s2, pre_s2)
 
     # Device-resident tpujpeg ladder: encode (transform+quantize), decode
@@ -207,7 +216,9 @@ def run_sweep_scenario(jax, jnp) -> dict:
     # entropy-exact byte sizes, stuffing estimated, one small fetch per
     # image, stacked and fetched once); "with_sizes" fetches coefficient
     # planes and entropy-codes exact .jpg bytes on this box's single CPU.
-    def tpu_e2e_rates():
+    LADDER_REPS = 3
+
+    def build_ladder_runner():
         from codec_eval_tpu.kernels import jpeg_enc as _je2
         from codec_eval_tpu.kernels import jpeg_rate as _jr
         from codec_eval_tpu.engine.scoring import (
@@ -239,7 +250,7 @@ def run_sweep_scenario(jax, jnp) -> dict:
             jax.block_until_ready(
                 jnp.asarray(_photo(SWEEP_SIZE, SWEEP_SIZE, 7000 + i))
             )
-            for i in range(1 + 3 * 2 * n_img)
+            for i in range(1 + 3 * LADDER_REPS * n_img)
         ]
         it = iter(fresh)
 
@@ -283,15 +294,9 @@ def run_sweep_scenario(jax, jnp) -> dict:
             _ = np.asarray(next(iter(outs[-1].values()))[0])
             return n_img * n_q / (time.perf_counter() - t0)
 
-        return (
-            max(run("scores") for _ in range(2)),
-            max(run("device") for _ in range(2)),
-            max(run("exact") for _ in range(2)),
-        )
+        return run
 
-    tpu_e2e_scores_pps, tpu_e2e_device_sizes_pps, tpu_e2e_sizes_pps = (
-        tpu_e2e_rates()
-    )
+    ladder_run = build_ladder_runner()
 
     # Device-decode scoring of externally-encoded JPEGs: the host runs only
     # the Huffman parse (native/jpeg_huff_decode.cpp); dequant + iDCT +
@@ -300,7 +305,7 @@ def run_sweep_scenario(jax, jnp) -> dict:
     # PIL-decode+staged-pixel path on this tunnel (u8 channel-last staging
     # is pathologically slow here); on PCIe hosts the win is ~4x less host
     # decode CPU per image instead.
-    def jpeg_device_decode_rate():
+    def build_jpeg_device_runner():
         import io as _io
 
         from PIL import Image as _Image
@@ -319,17 +324,23 @@ def run_sweep_scenario(jax, jnp) -> dict:
                 out.append(b.getvalue())
             return out
 
+        # Fresh refs/ladders per repetition (runtime memoization).
         refs = [
-            _photo(SWEEP_SIZE, SWEEP_SIZE, 7700 + i) for i in range(n_img + 1)
+            _photo(SWEEP_SIZE, SWEEP_SIZE, 7700 + i)
+            for i in range(1 + LADDER_REPS * n_img)
         ]
         ladders = [ladder(r) for r in refs]
         _ = _jd.score_jpeg_files(refs[0], ladders[0])  # warm
-        t0 = time.perf_counter()
-        for i in range(1, n_img + 1):
-            _ = _jd.score_jpeg_files(refs[i], ladders[i])
-        return n_img * len(SWEEP_QUALITIES) / (time.perf_counter() - t0)
 
-    jpeg_dev_pps = jpeg_device_decode_rate()
+        def run(rep):
+            t0 = time.perf_counter()
+            for i in range(1 + rep * n_img, 1 + (rep + 1) * n_img):
+                _ = _jd.score_jpeg_files(refs[i], ladders[i])
+            return n_img * len(SWEEP_QUALITIES) / (time.perf_counter() - t0)
+
+        return run
+
+    jpeg_dev_run = build_jpeg_device_runner()
 
     # End-to-end: host encode/decode overlapped with device scoring via a
     # producer pool + async dispatch (SURVEY.md §7 hard part #2).
@@ -360,7 +371,28 @@ def run_sweep_scenario(jax, jnp) -> dict:
         _ = np.asarray(next(iter(outs[-1].values()))[0])  # see note above
         return n_e2e * n_cand / (time.perf_counter() - t0)
 
-    e2e_pps = max(e2e_once() for _ in range(2))
+    # Tunnel-bound fields: N>=3 repetitions INTERLEAVED round-robin across
+    # fields, reported as median with min/max dispersion.  The tunnel's
+    # throughput drifts in multi-minute phases, so back-to-back reps of one
+    # field sample a single phase and a best-of scalar silently rides the
+    # weather (VERDICT r4 #5: four such fields moved up to 3.6x between
+    # rounds with nothing in the artifact to tell weather from regression).
+    ladder_vals = {"scores": [], "device": [], "exact": []}
+    e2e_vals: list = []
+    jpeg_vals: list = []
+    for rep in range(LADDER_REPS):
+        for mode in ("scores", "device", "exact"):
+            ladder_vals[mode].append(ladder_run(mode))
+        e2e_vals.append(e2e_once())
+        if jpeg_dev_run is not None:
+            jpeg_vals.append(jpeg_dev_run(rep))
+
+    e2e_pps = float(np.median(e2e_vals))
+    all_staged_pps = float(np.median(all_staged_vals))
+    tpu_e2e_scores_pps = float(np.median(ladder_vals["scores"]))
+    tpu_e2e_device_sizes_pps = float(np.median(ladder_vals["device"]))
+    tpu_e2e_sizes_pps = float(np.median(ladder_vals["exact"]))
+    jpeg_dev_pps = float(np.median(jpeg_vals)) if jpeg_vals else None
 
     # Achieved FLOPs from XLA cost analysis (unavailable on some remote
     # backends -> None).  MFU is quoted against v5e bf16 peak (197 TFLOP/s);
@@ -398,6 +430,20 @@ def run_sweep_scenario(jax, jnp) -> dict:
         "jpeg_device_decode_score_pairs_per_sec": (
             round(jpeg_dev_pps, 1) if jpeg_dev_pps else None
         ),
+        # Tunnel-bound fields above are medians of interleaved reps; the
+        # spread shows how much of any round-over-round delta is weather.
+        "tunnel_dispersion": {
+            "allmetric_with_tunnel_staging_pairs_per_sec": _disp(all_staged_vals),
+            "e2e_overlapped_pairs_per_sec": _disp(e2e_vals),
+            "tpu_e2e_ladder_pairs_per_sec": _disp(ladder_vals["exact"]),
+            "tpu_e2e_ladder_device_sizes_pairs_per_sec": _disp(
+                ladder_vals["device"]
+            ),
+            "tpu_e2e_ladder_scores_only_pairs_per_sec": _disp(
+                ladder_vals["scores"]
+            ),
+            "jpeg_device_decode_score_pairs_per_sec": _disp(jpeg_vals),
+        },
         "host_cpu_count": __import__("os").cpu_count(),
         "cid22_dense_sweep_v5e8_seconds_allmetric": round(cid22_v5e8_s, 2),
         "achieved_tflops": achieved_tflops,
@@ -515,6 +561,13 @@ def run_large_scenario(jax, jnp) -> dict:
         )
         for k in range(3)
     ]
+    # Drain the async staging transfers before opening the timed window:
+    # shard_batch is a plain device_put, and on this backend pending copies
+    # would otherwise serialize into the "device-only" timing, making the
+    # number transfer-dominated (ADVICE r4).  Fetching one element of each
+    # staged slice's last bucket serializes behind its transfers.
+    for s in staged:
+        _ = np.asarray(s.buckets[-1][2][0, 0, 0, :1])
     t0 = time.perf_counter()
     for s in staged:
         score_staged(s)
@@ -646,6 +699,93 @@ def _guarded(fn, *args) -> dict:
         return {"error": line}
 
 
+def _preflight_record() -> dict:
+    """Run the TPU preflight compile gate mechanically before scenarios and
+    return its JSON record for embedding (VERDICT r4 #6: the gate must be
+    tied to the bench, not advisory).  --fast is cheap after the first run
+    thanks to the persistent compilation cache."""
+    import os
+    import subprocess
+    import sys
+
+    tool = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "tpu_preflight.py"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, tool, "--fast"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # noqa: BLE001 — preflight failure must be visible
+        return {"ok": False, "error": f"{type(e).__name__}: {e}"[:400]}
+
+
+def _delta_vs_prev(record: dict) -> dict | None:
+    """Compare this run's numeric fields against the latest committed
+    BENCH_r*.json: print the full delta table to stderr and return the
+    fields that moved more than 25% either way, so a large silent shift
+    (VERDICT r4 #5: 3.6x on a staging field) can never land unremarked."""
+    import glob
+    import os
+    import sys
+
+    files = sorted(
+        glob.glob(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"
+            )
+        )
+    )
+    if not files:
+        return None
+    prev_path = files[-1]
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        # The driver wraps the bench's JSON line in {"n","cmd","rc","tail"}
+        # where "tail" is the run's captured output; unwrap the record.
+        if "tail" in prev and "metric" not in prev:
+            lines = [
+                ln for ln in str(prev["tail"]).splitlines()
+                if ln.startswith("{") and '"metric"' in ln
+            ]
+            if not lines:
+                return None
+            prev = json.loads(lines[-1])
+    except Exception:
+        return None
+
+    def flat(d, pre=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, pre + k + "."))
+            elif isinstance(v, (int, float)) and not isinstance(v, bool):
+                out[pre + k] = float(v)
+        return out
+
+    a, b = flat(prev), flat(record)
+    flagged = {}
+    print(f"--- delta vs {os.path.basename(prev_path)} ---", file=sys.stderr)
+    for k in sorted(set(a) & set(b)):
+        if "dispersion" in k or k.startswith(("preflight", "delta")):
+            continue
+        pv, cv = a[k], b[k]
+        if not pv or not cv:
+            continue
+        ratio = cv / pv
+        moved = ratio > 1.25 or ratio < 0.8
+        if moved:
+            flagged[k] = {"prev": pv, "now": cv, "ratio": round(ratio, 3)}
+        print(
+            f"{k}: {pv:g} -> {cv:g} ({ratio:.2f}x)"
+            + ("  <-- MOVED >25%" if moved else ""),
+            file=sys.stderr,
+        )
+    return {"prev_file": os.path.basename(prev_path), "flagged": flagged}
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument(
@@ -656,6 +796,10 @@ def main() -> None:
         "25pt x 4-codec 512px flagship; 'large' = 2048px CLIC-class + "
         "mixed-size masked buckets; 'all' = every scenario (default)",
     )
+    parser.add_argument(
+        "--no-preflight", action="store_true",
+        help="skip the TPU preflight compile gate (debug only)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -663,52 +807,51 @@ def main() -> None:
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
+    preflight = None
+    if not args.no_preflight and jax.default_backend() in ("tpu", "axon"):
+        preflight = _preflight_record()
+
     if args.scenario == "large":
         large = _guarded(run_large_scenario, jax, jnp)
-        print(
-            json.dumps(
-                {
-                    "metric": "pairs_per_sec_2048px_allmetric",
-                    "value": large.get("pairs_per_sec_2048px_allmetric"),
-                    "unit": "pairs/s/chip",
-                    "vs_baseline": None,
-                    **{
-                        k: v
-                        for k, v in large.items()
-                        if k != "pairs_per_sec_2048px_allmetric"
-                    },
-                }
-            )
-        )
-        return
-
-    if args.scenario == "sweep":
+        record = {
+            "metric": "pairs_per_sec_2048px_allmetric",
+            "value": large.get("pairs_per_sec_2048px_allmetric"),
+            "unit": "pairs/s/chip",
+            "vs_baseline": None,
+            **{
+                k: v
+                for k, v in large.items()
+                if k != "pairs_per_sec_2048px_allmetric"
+            },
+        }
+    elif args.scenario == "sweep":
         sweep = _guarded(run_sweep_scenario, jax, jnp)
-        print(
-            json.dumps(
-                {
-                    "metric": "allmetric_sweep_pairs_per_sec_512px",
-                    "value": sweep.get("allmetric_pairs_per_sec"),
-                    "unit": "pairs/s/chip",
-                    "vs_baseline": sweep.get("vs_target_1300"),
-                    **{k: v for k, v in sweep.items() if k != "allmetric_pairs_per_sec"},
-                }
-            )
-        )
-        return
+        record = {
+            "metric": "allmetric_sweep_pairs_per_sec_512px",
+            "value": sweep.get("allmetric_pairs_per_sec"),
+            "unit": "pairs/s/chip",
+            "vs_baseline": sweep.get("vs_target_1300"),
+            **{k: v for k, v in sweep.items() if k != "allmetric_pairs_per_sec"},
+        }
+    else:
+        pre = _guarded(run_precompute_scenario, jax, jnp)
+        record = {
+            "metric": "ssimulacra2_images_per_sec_800px",
+            "value": pre.get("value"),
+            "unit": "img/s/chip",
+            "vs_baseline": pre.get("vs_baseline"),
+        }
+        if "error" in pre:
+            record["error"] = pre["error"]
+        if args.scenario == "all":
+            record["sweep"] = _guarded(run_sweep_scenario, jax, jnp)
+            record["large"] = _guarded(run_large_scenario, jax, jnp)
 
-    pre = _guarded(run_precompute_scenario, jax, jnp)
-    record = {
-        "metric": "ssimulacra2_images_per_sec_800px",
-        "value": pre.get("value"),
-        "unit": "img/s/chip",
-        "vs_baseline": pre.get("vs_baseline"),
-    }
-    if "error" in pre:
-        record["error"] = pre["error"]
-    if args.scenario == "all":
-        record["sweep"] = _guarded(run_sweep_scenario, jax, jnp)
-        record["large"] = _guarded(run_large_scenario, jax, jnp)
+    if preflight is not None:
+        record["preflight"] = preflight
+    delta = _delta_vs_prev(record)
+    if delta is not None:
+        record["delta_vs_prev"] = delta
     print(json.dumps(record))
 
 
