@@ -91,12 +91,91 @@ def _banded_matrix(n: int, sigma: float) -> np.ndarray:
 BLUR_PRECISION = os.environ.get("CODEC_EVAL_BLUR_PRECISION", "highest")
 
 
+#: Minimum number of 128-blocks per axis before the matmul blur switches to
+#: the block-tridiagonal gather-einsum form: the dense (n, n) contraction
+#: costs n/384x more MXU FLOPs (5.3x at 2048px) for a band that is at most
+#: ~2*ceil(4.5*sigma)+1 wide.  Below the threshold the dense form's single
+#: big matmul wins on dispatch/layout overhead.
+_MM_BANDED_MIN_BLOCKS = int(
+    os.environ.get("CODEC_EVAL_BLUR_MM_BANDED_MIN_BLOCKS", "8")
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _block_banded_operator(n: int, sigma: float) -> np.ndarray:
+    """(nb, 128, 384) block-tridiagonal operator of the (n, n) banded blur:
+    output block i contracts [m_{i,i-1} | m_{i,i} | m_{i,i+1}] against the
+    stacked [x_{i-1}; x_i; x_{i+1}] (zero blocks at the edges).  Valid while
+    the band half-width fits in one 128 block."""
+    m = _banded_matrix(n, sigma)
+    nb = n // 128
+    B = np.zeros((nb, 128, 384), np.float32)
+    for i in range(nb):
+        r = slice(i * 128, (i + 1) * 128)
+        if i > 0:
+            B[i, :, :128] = m[r, (i - 1) * 128 : i * 128]
+        B[i, :, 128:256] = m[r, r]
+        if i < nb - 1:
+            B[i, :, 256:] = m[r, (i + 1) * 128 : (i + 2) * 128]
+    return B
+
+
+def _banded_neighbor_stack(xb: jnp.ndarray, axis: int):
+    """Zero-padded shifted copies of the block axis (x_{i-1}, x_{i+1})."""
+    zeros = jnp.zeros_like(jax.lax.slice_in_dim(xb, 0, 1, axis=axis))
+    below = jnp.concatenate(
+        [zeros, jax.lax.slice_in_dim(xb, 0, xb.shape[axis] - 1, axis=axis)],
+        axis=axis,
+    )
+    above = jnp.concatenate(
+        [jax.lax.slice_in_dim(xb, 1, xb.shape[axis], axis=axis), zeros],
+        axis=axis,
+    )
+    return below, above
+
+
+def _banded_rows_mm(planes: jnp.ndarray, n: int, sigma: float, prec) -> jnp.ndarray:
+    """Row (sublane-axis) blur as ONE block-banded gather-einsum — a single
+    output write, no scatter-adds (the 3-einsum + .at[].add form measured
+    bandwidth-bound at 2048px in the butteraugli LF path)."""
+    B = jnp.asarray(_block_banded_operator(n, sigma))
+    nb = n // 128
+    lead = planes.shape[:-2]
+    w = planes.shape[-1]
+    xb = planes.reshape(lead + (nb, 128, w))
+    below, above = _banded_neighbor_stack(xb, axis=len(lead))
+    xg = jnp.concatenate([below, xb, above], axis=-2)  # (..., nb, 384, w)
+    out = jnp.einsum("bok,...bkw->...bow", B, xg, precision=prec)
+    return out.reshape(lead + (n, w))
+
+
+def _banded_cols_mm(planes: jnp.ndarray, n: int, sigma: float, prec) -> jnp.ndarray:
+    """Column (lane-axis) blur applied from the right — no transposes."""
+    B = jnp.asarray(_block_banded_operator(n, sigma))
+    nb = n // 128
+    lead = planes.shape[:-2]
+    h = planes.shape[-2]
+    xb = planes.reshape(lead + (h, nb, 128))
+    below, above = _banded_neighbor_stack(xb, axis=len(lead) + 1)
+    xg = jnp.concatenate([below, xb, above], axis=-1)  # (..., h, nb, 384)
+    out = jnp.einsum("...hbk,bok->...hbo", xg, B, precision=prec)
+    return out.reshape(lead + (h, n))
+
+
+def _mm_banded_ok(n: int, sigma: float) -> bool:
+    radius = len(gaussian_taps(sigma)) // 2
+    return n % 128 == 0 and n // 128 >= _MM_BANDED_MIN_BLOCKS and radius <= 128
+
+
 def _blur_matmul(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
     """Separable blur as two banded matmuls — rides the MXU.
 
     The FIR formulations shift along the lane dimension, which lowers to
     expensive lane shuffles; a banded (N, N) contraction trades ~50x more
-    FLOPs for MXU throughput and no shuffles.
+    FLOPs for MXU throughput and no shuffles.  At CLIC-class sizes
+    (>= _MM_BANDED_MIN_BLOCKS 128-blocks per axis) each direction drops to
+    the block-tridiagonal gather-einsum form (5.3x fewer MXU FLOPs at
+    2048px, one output write, no transposes).
     """
     prec = (
         jax.lax.Precision.HIGH
@@ -104,9 +183,14 @@ def _blur_matmul(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
         else jax.lax.Precision.HIGHEST
     )
     c, h, w = planes.shape
-    th = jnp.asarray(_banded_matrix(h, sigma))
+    if _mm_banded_ok(h, sigma):
+        x = _banded_rows_mm(planes, h, sigma, prec)
+    else:
+        th = jnp.asarray(_banded_matrix(h, sigma))
+        x = jnp.einsum("hk,ckw->chw", th, planes, precision=prec)
+    if _mm_banded_ok(w, sigma):
+        return _banded_cols_mm(x, w, sigma, prec)
     tw = jnp.asarray(_banded_matrix(w, sigma))
-    x = jnp.einsum("hk,ckw->chw", th, planes, precision=prec)
     return jnp.einsum("chw,kw->chk", x, tw, precision=prec)
 
 
@@ -202,8 +286,20 @@ def downscale_by_2(planes: jnp.ndarray) -> jnp.ndarray:
         planes = jnp.pad(planes, ((0, 0), (0, ph), (0, pw)), mode="edge")
     _, h2, w2 = planes.shape
     if _use_matmul_downscale():
-        a = jnp.asarray(pair_mean_matrix(w2 // 2))
-        cols = jnp.matmul(planes, a, precision=jax.lax.Precision.HIGHEST)
+        if w2 % 256 == 0 and w2 // 256 >= _MM_BANDED_MIN_BLOCKS // 2:
+            # Block form: every 128-column output block draws only from its
+            # own 256-column input block, so ONE fixed (256, 128) pair-mean
+            # operator contracts per block — 16x fewer MXU FLOPs than the
+            # dense (w, w/2) matrix at 2048px (A/B on-chip 2026-08-21:
+            # 2.20 vs 5.86 ms for 15 planes per pyramid step).
+            a = jnp.asarray(pair_mean_matrix(128))
+            xg = planes.reshape(c, h2, w2 // 256, 256)
+            cols = jnp.einsum(
+                "chbk,ko->chbo", xg, a, precision=jax.lax.Precision.HIGHEST
+            ).reshape(c, h2, w2 // 2)
+        else:
+            a = jnp.asarray(pair_mean_matrix(w2 // 2))
+            cols = jnp.matmul(planes, a, precision=jax.lax.Precision.HIGHEST)
         return cols.reshape(c, h2 // 2, 2, w2 // 2).mean(axis=2)
     return (
         planes.reshape(c, h2 // 2, 2, w2 // 2, 2).mean(axis=(2, 4))

@@ -256,18 +256,114 @@ def _banded_blocks(n: int, sigma: float):
     return D, U, L
 
 
+@functools.lru_cache(maxsize=None)
+def _banded_operator(n: int, sigma: float) -> np.ndarray:
+    """(nb, 128, 384) per-output-block band operator: [L_i | D_i | U_i]
+    applied to the stacked [x_{i-1}; x_i; x_{i+1}] input blocks (zero
+    blocks at the edges)."""
+    D, U, L = _banded_blocks(n, sigma)
+    nb = n // 128
+    B = np.zeros((nb, 128, 384), np.float32)
+    B[:, :, 128:256] = D
+    B[1:, :, :128] = L
+    B[:-1, :, 256:] = U
+    return B
+
+
+def _banded_gather(xb: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Stack each block with its neighbors along a new 3x axis: block axis
+    ``axis`` of size nb gains zero-padded shifted copies, tripling the
+    adjacent per-block axis."""
+    zeros = jnp.zeros_like(jax.lax.slice_in_dim(xb, 0, 1, axis=axis))
+    below = jnp.concatenate(
+        [zeros, jax.lax.slice_in_dim(xb, 0, xb.shape[axis] - 1, axis=axis)],
+        axis=axis,
+    )
+    above = jnp.concatenate(
+        [jax.lax.slice_in_dim(xb, 1, xb.shape[axis], axis=axis), zeros],
+        axis=axis,
+    )
+    return below, above
+
+
 def _banded_rows(planes: jnp.ndarray, n: int, sigma: float, prec) -> jnp.ndarray:
-    """Row (sublane-axis) blur via block-tridiagonal MXU matmuls."""
-    D, U, L = (jnp.asarray(b) for b in _banded_blocks(n, sigma))
+    """Row (sublane-axis) blur via block-tridiagonal MXU matmuls.
+
+    Single gather-einsum form: each output block contracts the [L|D|U]
+    operator against its three stacked input blocks.  The previous
+    three-einsum + two-scatter-add form materialized ~4x the plane bytes
+    in HBM (measured 12.0 ms for the 2048px/5 LF blur — bandwidth-bound,
+    not FLOP-bound); one einsum writes the output once.
+    """
+    B = jnp.asarray(_banded_operator(n, sigma))
     nb = n // 128
     lead = planes.shape[:-2]
     w = planes.shape[-1]
     xb = planes.reshape(lead + (nb, 128, w))
-    out = jnp.einsum("boi,...bik->...bok", D, xb, precision=prec)
-    up = jnp.einsum("boi,...bik->...bok", U, xb[..., 1:, :, :], precision=prec)
-    lo = jnp.einsum("boi,...bik->...bok", L, xb[..., :-1, :, :], precision=prec)
-    out = out.at[..., :-1, :, :].add(up).at[..., 1:, :, :].add(lo)
+    below, above = _banded_gather(xb, axis=len(lead))
+    xg = jnp.concatenate([below, xb, above], axis=-2)  # (..., nb, 384, w)
+    out = jnp.einsum("bok,...bkw->...bow", B, xg, precision=prec)
     return out.reshape(lead + (n, w))
+
+
+def _banded_cols(planes: jnp.ndarray, n: int, sigma: float, prec) -> jnp.ndarray:
+    """Column (lane-axis) blur applied from the right — no transposes.
+
+    Same operator as ``_banded_rows`` contracted against column blocks:
+    out[..., h, b*128+o] = sum_k xg[..., h, b, k] B[b, o, k].
+    """
+    B = jnp.asarray(_banded_operator(n, sigma))
+    nb = n // 128
+    lead = planes.shape[:-2]
+    h = planes.shape[-2]
+    xb = planes.reshape(lead + (h, nb, 128))
+    below, above = _banded_gather(xb, axis=len(lead) + 1)
+    xg = jnp.concatenate([below, xb, above], axis=-1)  # (..., h, nb, 384)
+    out = jnp.einsum("...hbk,bok->...hbo", xg, B, precision=prec)
+    return out.reshape(lead + (h, n))
+
+
+#: Batched-blur implementation for the per-candidate batch paths (the
+#: sigma-7.16 LF blur in _psycho_batch, the sigma-2.7 mask blur in
+#: _mask_diff_ac_batch): "auto" (Pallas FIR kernel on TPU for >=1024px
+#: planes with SHORT tap chains; long chains stay on the MXU banded
+#: matmuls — the VPU FIR cost is linear in taps, and the 33-tap sigma-7.16
+#: chain measured 10.9 ms Pallas vs 8.6 ms gather-einsum banded at 2048px/5
+#: while 13-tap sigma-2.7 wins ~1.5-1.8x in Pallas), "pallas", or "xla".
+BLUR_BATCH_IMPL = __import__("os").environ.get(
+    "CODEC_EVAL_BA_BLUR_BATCH_IMPL", "auto"
+)
+
+#: Minimum plane side before "auto" routes the batched blur to the Pallas
+#: kernel; below it the dense/banded MXU matmuls win on dispatch overhead.
+_BLUR_PALLAS_MIN_SIDE = int(
+    __import__("os").environ.get("CODEC_EVAL_BLUR_PALLAS_MIN_SIDE", "1024")
+)
+
+#: Maximum FIR tap count for which "auto" prefers the Pallas VPU kernel.
+_BLUR_PALLAS_MAX_TAPS = int(
+    __import__("os").environ.get("CODEC_EVAL_BLUR_PALLAS_MAX_TAPS", "16")
+)
+
+
+def _blur_batch(planes4: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """(B, C, H, W) batched renormalized blur for the scoring hot paths."""
+    impl = BLUR_BATCH_IMPL
+    h, w = planes4.shape[-2], planes4.shape[-1]
+    if impl == "auto":
+        ntaps = 2 * max(1, int(2.25 * sigma)) + 1
+        impl = (
+            "pallas"
+            if jax.default_backend() in ("tpu", "axon")
+            and min(h, w) >= _BLUR_PALLAS_MIN_SIDE
+            and ntaps <= _BLUR_PALLAS_MAX_TAPS
+            else "xla"
+        )
+    if impl == "pallas":
+        from .pallas.blur import blur_batch_pallas
+
+        return blur_batch_pallas(planes4, sigma)
+    return jax.vmap(lambda p: _blur(p, sigma))(planes4)
 
 
 def _blur(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
@@ -276,7 +372,9 @@ def _blur(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
     Lowered as dense (n, n) matmuls on the MXU for small images; for
     large ones (>= _BANDED_MIN_BLOCKS 128-blocks per axis) the operator
     is block-tridiagonal — the band is at most 33 — and runs as 3nb-2
-    batched block matmuls instead (81% fewer FLOPs at 2048px).
+    batched block matmuls instead (81% fewer FLOPs at 2048px).  Batched
+    callers on the scoring hot path should use ``_blur_batch``, which can
+    route to the Pallas FIR kernel where the matmul form is HBM-bound.
     """
     h, w = planes.shape[-2], planes.shape[-1]
     prec = _blur_precision()
@@ -287,9 +385,7 @@ def _blur(planes: jnp.ndarray, sigma: float) -> jnp.ndarray:
         and w // 128 >= _BANDED_MIN_BLOCKS
     ):
         out = _banded_rows(planes, h, sigma, prec)
-        out = jnp.swapaxes(out, -1, -2)
-        out = _banded_rows(out, w, sigma, prec)
-        return jnp.swapaxes(out, -1, -2)
+        return _banded_cols(out, w, sigma, prec)
     bh = jnp.asarray(_blur_matrix(h, sigma))
     bw = jnp.asarray(_blur_matrix(w, sigma))
     out = jnp.einsum("ij,...jk->...ik", bh, planes, precision=prec)
@@ -904,7 +1000,14 @@ def _mask_diff_ac_batch(pi1_batch: "PsychoImage", b0: jnp.ndarray) -> jnp.ndarra
         return mask_diff_ac_batch_pallas(
             d1, b0, _MASK_DIFF_AC_MUL, sigma=SIGMA_MASK
         )
-    return jax.vmap(lambda pi1: _mask_candidate_side(b0, pi1))(pi1_batch)
+    # Batched sigma-2.7 blur: same math as the vmapped _mask_candidate_side,
+    # with the blur routed through _blur_batch so large planes can use the
+    # Pallas FIR kernel instead of the HBM-bound banded matmuls.
+    d1 = jax.vmap(
+        lambda pi1: _diff_precompute(_combine_channels_for_masking(pi1))
+    )(pi1_batch)
+    b1 = _blur_batch(d1[:, None], SIGMA_MASK)[:, 0]
+    return _MASK_DIFF_AC_MUL * (b0 - b1) * (b0 - b1)
 
 
 def _mask_psycho_image(
@@ -1014,8 +1117,18 @@ def _subsample2x(planes: jnp.ndarray) -> jnp.ndarray:
     if _use_matmul_downscale():
         # Lane-dim pairwise means lower to shuffles on TPU; the column-pair
         # averaging matmul rides the MXU instead (see kernels/blur.py).
-        a = jnp.asarray(pair_mean_matrix(pw // 2))
-        cols = jnp.matmul(p, a, precision=_HIGHEST)
+        if pw % 256 == 0 and pw // 256 >= 4:
+            # Block form at CLIC-class widths: one fixed (256, 128) operator
+            # per 256-column block — 16x fewer MXU FLOPs than the dense
+            # (w, w/2) matrix (kernels/blur.py downscale_by_2 rationale).
+            a = jnp.asarray(pair_mean_matrix(128))
+            xg = p.reshape(planes.shape[:-2] + (ph, pw // 256, 256))
+            cols = jnp.einsum(
+                "...bk,ko->...bo", xg, a, precision=_HIGHEST
+            ).reshape(planes.shape[:-2] + (ph, pw // 2))
+        else:
+            a = jnp.asarray(pair_mean_matrix(pw // 2))
+            cols = jnp.matmul(p, a, precision=_HIGHEST)
         out = cols.reshape(planes.shape[:-2] + (ph // 2, 2, pw // 2)).mean(
             axis=-2
         )
@@ -1036,9 +1149,19 @@ def _add_supersampled2x(result: jnp.ndarray, sub: jnp.ndarray) -> jnp.ndarray:
     if _use_matmul_downscale():
         # Lane-dim repeat lowers to shuffles on TPU; column replication is
         # the transpose of the pair-mean operator (x2), on the MXU.
-        rep = jnp.asarray(2.0 * pair_mean_matrix(sub.shape[1]).T)
         up = jnp.repeat(sub, 2, axis=0)[:h]
-        up = jnp.matmul(up, rep, precision=_HIGHEST)[:, :w]
+        sw = sub.shape[1]
+        if sw % 128 == 0 and sw // 128 >= 4:
+            # Block form (see _subsample2x): fixed (128, 256) replication
+            # operator per block instead of the dense (sw, 2*sw) matrix.
+            rep = jnp.asarray(2.0 * pair_mean_matrix(128).T)
+            xg = up.reshape(up.shape[0], sw // 128, 128)
+            up = jnp.einsum(
+                "...bk,ko->...bo", xg, rep, precision=_HIGHEST
+            ).reshape(up.shape[0], 2 * sw)[:, :w]
+        else:
+            rep = jnp.asarray(2.0 * pair_mean_matrix(sw).T)
+            up = jnp.matmul(up, rep, precision=_HIGHEST)[:, :w]
     else:
         up = jnp.repeat(jnp.repeat(sub, 2, axis=0), 2, axis=1)[:h, :w]
     return result * _SUPERSAMPLE_KEEP + _SUPERSAMPLE_W * up
@@ -1249,7 +1372,7 @@ def _psycho_batch(lin_scaled: jnp.ndarray) -> PsychoImage:
     from .pallas.freqsep import bands_batch_pallas, opsin_xyb_batch_pallas
 
     xyb = opsin_xyb_batch_pallas(lin_scaled, _OPSIN_CONSTS)
-    lf = jax.vmap(lambda p: _blur(p, SIGMA_LF))(xyb)
+    lf = _blur_batch(xyb, SIGMA_LF)
     # CLIC-class widths run the same kernels 2-D tiled (512-lane column
     # tiles with blur-radius halos, pallas/freqsep.py _col_tile): the row
     # slabs that used to overflow scoped VMEM at >=1024 lanes (17 MB at

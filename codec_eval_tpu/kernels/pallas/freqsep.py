@@ -273,8 +273,8 @@ def opsin_xyb_batch_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _bands_kernel(
-    mfp_ref, recip332_ref, recip156_ref, out_ref,
+def _bands_compute(
+    mf_pre, recip332, recip156, write_out,
     *, consts, taps332, taps156, tile, wp, halo,
 ):
     (mf_x_remove, mf_y_amplify, uhf_x_remove, hf_x_remove,
@@ -295,13 +295,6 @@ def _bands_kernel(
             jnp.where(v < -m, (v + m) * maxclamp_mul - m, v),
         )
 
-    # mf_pre = xyb - lf over the full slab (needed at chained-blur extents).
-    # The subtraction happens in XLA before restaging: the kernel never
-    # reads xyb or lf separately, so staging both would double the input
-    # slab DMA for nothing (measured ~0.5 ms of the bands stage at
-    # 512px/25 before this was factored out).
-    mf_pre = mfp_ref[0, :, 0, 0]  # (3, tile+2*halo, ctile_in)
-
     # Stage 1: sigma-3.22 blur of all three mf_pre planes.  Valid rows for
     # the next stage: [halo - r156_need, halo + tile + r156_need).
     inner_rows = tile + 2 * (r156 + 1)  # r156 rounded up margin
@@ -311,7 +304,7 @@ def _bands_kernel(
     bv = _fir_v(mf_pre, taps332, r332, inner_rows, inner0)
     mf_blur = (
         _fir_h(bv, taps332, r332, inner_cols, incol0)
-        * recip332_ref[0, 0]
+        * recip332
     )  # (3, inner_rows, inner_cols)
 
     ctr = lambda p: p[..., r156 + 1 : r156 + 1 + tile, r156 + 1 : r156 + 1 + wp]
@@ -331,7 +324,7 @@ def _bands_kernel(
 
     # Stage 2: sigma-1.56 blur of hf at output extent.
     hv = _fir_v(hf, taps156, r156, tile, r156 + 1)
-    hf_blur = _fir_h(hv, taps156, r156, wp, r156 + 1) * recip156_ref[0, 0]
+    hf_blur = _fir_h(hv, taps156, r156, wp, r156 + 1) * recip156
 
     hf_c = hf[:, r156 + 1 : r156 + 1 + tile, r156 + 1 : r156 + 1 + wp]
     uhf_x = remove_range(hf_c[0] - hf_blur[0], uhf_x_remove)
@@ -340,13 +333,58 @@ def _bands_kernel(
     uhf_y = maximum_clamp(hf_c[1] - hfc, maxclamp_uhf) * uhf_y_mul
     hf_y_out = amplify_range(hfc * hf_y_mul, hf_y_amplify)
 
-    out_ref[0, 0, 0, 0] = uhf_x
-    out_ref[0, 1, 0, 0] = uhf_y
-    out_ref[0, 2, 0, 0] = hf_x_out
-    out_ref[0, 3, 0, 0] = hf_y_out
-    out_ref[0, 4, 0, 0] = mf_x
-    out_ref[0, 5, 0, 0] = mf_y
-    out_ref[0, 6, 0, 0] = mf_b
+    write_out((uhf_x, uhf_y, hf_x_out, hf_y_out, mf_x, mf_y, mf_b))
+
+
+def _bands_kernel(
+    mfp_ref, recip332_ref, recip156_ref, out_ref,
+    *, consts, taps332, taps156, tile, wp, halo,
+):
+    def write_out(bands):
+        for i, b in enumerate(bands):
+            out_ref[0, i, 0, 0] = b
+
+    _bands_compute(
+        mfp_ref[0, :, 0, 0], recip332_ref[0, 0], recip156_ref[0, 0],
+        write_out, consts=consts, taps332=taps332, taps156=taps156,
+        tile=tile, wp=wp, halo=halo,
+    )
+
+
+def _bands_kernel_dma(
+    mfp_hbm, recip332_ref, recip156_ref, out_ref, slab, sem,
+    *, consts, taps332, taps156, tile, wp, halo, ctile_in,
+):
+    """DMA-input variant: reads its (tile + 2*halo, ctile_in) window
+    straight from the zero-padded full plane in HBM, skipping the
+    materialized overlap-slab restage (which alone measured 8.65 ms of the
+    16.6 ms bands stage at 2048px/5 — tools session 2026-08-21), and
+    writes output blocks directly in (B, 7, hp, wcp) layout (no moveaxis/
+    reshape pass)."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    ci = pl.program_id(2)
+    cp = pltpu.make_async_copy(
+        mfp_hbm.at[
+            bi, :,
+            pl.ds(ti * tile, tile + 2 * halo),
+            pl.ds(ci * wp, ctile_in),
+        ],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    def write_out(bands):
+        for i, b in enumerate(bands):
+            out_ref[0, i] = b
+
+    _bands_compute(
+        slab[...], recip332_ref[0, 0], recip156_ref[0, 0], write_out,
+        consts=consts, taps332=taps332, taps156=taps156,
+        tile=tile, wp=wp, halo=halo,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("consts", "interpret"))
@@ -383,10 +421,6 @@ def bands_batch_pallas(
     nt = hp // tile
     wcp = ctile * nc
 
-    mfp_slabs = _overlap_tiles2d(
-        xyb - lf, tile, halo, hp, ctile, nc, ctile_in, w
-    )
-
     # Reciprocal-denominator tiles per blur stage, in each stage's local
     # coordinates.  Stage 1 (sigma 3.22) is evaluated on the inner extent
     # [halo - r156 - 1, halo + tile + r156 + 1) x same for cols; stage 2
@@ -417,6 +451,58 @@ def bands_batch_pallas(
         r156_full.reshape(nt, tile, nc, ctile).transpose(0, 2, 1, 3)
     )
 
+    recip_specs = [
+        pl.BlockSpec(
+            (1, 1, inner_rows, inner_cols),
+            lambda bi, ti, ci: (ti, ci, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, tile, ctile),
+            lambda bi, ti, ci: (ti, ci, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+
+    restage = __import__("os").environ.get("CODEC_EVAL_FREQSEP_RESTAGE", "auto")
+    if nc > 1 and not interpret and restage != "stack":
+        # Wide (CLIC-class) planes: the materialized overlap-slab restage
+        # alone measured 8.65 ms of the 16.6 ms bands stage at 2048px/5, so
+        # the kernel DMAs its window straight from ONE zero-padded plane
+        # and writes output blocks directly in (B, 7, hp, wcp) layout.
+        pad = [(0, 0), (0, 0), (halo, hp - h + halo),
+               (halo, wcp - w + (ctile_in - ctile - 2 * halo) + halo)]
+        mfp_padded = jnp.pad(xyb - lf, pad)
+        kernel = functools.partial(
+            _bands_kernel_dma, consts=consts, taps332=taps332,
+            taps156=taps156, tile=tile, wp=ctile, halo=halo,
+            ctile_in=ctile_in,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, nt, nc),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                *recip_specs,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 7, tile, ctile),
+                lambda bi, ti, ci: (bi, 0, ti, ci),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, 7, hp, wcp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((3, tile + 2 * halo, ctile_in), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(mfp_padded, jnp.asarray(r332_tiles), jnp.asarray(r156_tiles))
+        if hp != h or wcp != w:
+            out = out[:, :, :h, :w]
+        return out
+
+    mfp_slabs = _overlap_tiles2d(
+        xyb - lf, tile, halo, hp, ctile, nc, ctile_in, w
+    )
     kernel = functools.partial(
         _bands_kernel, consts=consts, taps332=taps332, taps156=taps156,
         tile=tile, wp=ctile, halo=halo,
@@ -430,16 +516,7 @@ def bands_batch_pallas(
                 lambda bi, ti, ci: (bi, 0, ti, ci, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, inner_rows, inner_cols),
-                lambda bi, ti, ci: (ti, ci, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, tile, ctile),
-                lambda bi, ti, ci: (ti, ci, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            *recip_specs,
         ],
         out_specs=pl.BlockSpec(
             (1, 7, 1, 1, tile, ctile),

@@ -28,7 +28,8 @@ def main() -> None:
 
     ds = importlib.import_module("codec_eval_tpu.kernels.dssim")
 
-    size, batch = 512, 25
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     ref = _photo(size, size, 1)
     rng = np.random.default_rng(41)
     kmax = 8

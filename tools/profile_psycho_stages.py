@@ -31,7 +31,8 @@ def main() -> None:
         opsin_xyb_batch_pallas,
     )
 
-    size, batch = 512, 25
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 25
     ref = _photo(size, size, 1)
     rng = np.random.default_rng(13)
     kmax = 8
