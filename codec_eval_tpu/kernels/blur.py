@@ -285,6 +285,9 @@ def downscale_by_2(planes: jnp.ndarray) -> jnp.ndarray:
     if ph or pw:
         planes = jnp.pad(planes, ((0, 0), (0, ph), (0, pw)), mode="edge")
     _, h2, w2 = planes.shape
+    if DOWNSCALE_IMPL == "strided":
+        rows = 0.5 * (planes[:, 0::2, :] + planes[:, 1::2, :])
+        return 0.5 * (rows[:, :, 0::2] + rows[:, :, 1::2])
     if _use_matmul_downscale():
         if w2 % 256 == 0 and w2 // 256 >= _MM_BANDED_MIN_BLOCKS // 2:
             # Block form: every 128-column output block draws only from its

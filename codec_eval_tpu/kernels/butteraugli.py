@@ -702,11 +702,19 @@ def _malta_ac_stack_xla(stack: jnp.ndarray) -> jnp.ndarray:
 
 
 #: Whole-diffmap fused kernel (prologue + sweeps + L2/DC + mask combine in
-#: one Pallas program): "auto" = OFF (measured net loss: 12.87 vs 11.14 ms
-#: at 512px/5 — the fusion rereads input slabs per grid step and loses on
-#: DMA economics, ROADMAP 2026-08-20); only "1" / "probe" enable it.
+#: one Pallas program): "auto" = size-gated — OFF below
+#: _FUSED_EPI_MIN_SIDE (measured net loss at 512px: 12.87 vs 11.14 ms,
+#: the fusion rereads input slabs per grid step), probe-gated ON at
+#: CLIC-class sizes (measured win at 2048px: 61 vs 65-76 ms BA-only
+#: chunk, identical scores).  "1"/"probe"/"0" force.
 MALTA_FUSED_EPI = __import__("os").environ.get("CODEC_EVAL_MALTA_FUSED_EPI", "auto")
 
+
+#: Minimum plane side before "auto" probe-enables the fused diffmap kernel
+#: (loses at 512px, wins at 2048px — see _fused_diffmap_ok).
+_FUSED_EPI_MIN_SIDE = int(
+    __import__("os").environ.get("CODEC_EVAL_MALTA_FUSED_EPI_MIN_SIDE", "1400")
+)
 
 #: Per-(h, w, hf_asymmetry, xmul) results of the fused-diffmap compile probe.
 _FUSED_PROBE_CACHE: dict = {}
@@ -755,16 +763,20 @@ def _fused_diffmap_ok(h: int, w: int, hf_asymmetry, xmul) -> bool:
     if impl != "pallas":
         return False
     mode = MALTA_FUSED_EPI
-    if mode in ("0", "auto"):
-        # Measured on-chip (2026-08-21, tools/slope_ba_only.py, 512px/25,
-        # three rounds each, interleaved runs): fused epilogue 12.87 ms
-        # BA-only vs 11.14 ms for the stack+sweep+XLA-epilogue flow.  The
-        # whole-diffmap kernel reads BOTH candidate and reference band
-        # slabs per grid step (12 slab DMAs vs the diff kernel's 6) and
-        # serializes the prologue/epilogue VPU work that XLA overlaps with
-        # HBM traffic in the unfused flow, so it loses at every geometry
-        # measured.  Kept behind CODEC_EVAL_MALTA_FUSED_EPI=1/probe for
-        # re-evaluation on less bandwidth-rich parts.
+    if mode == "auto":
+        # Size-gated by measurement.  At 512px/25 the fused epilogue LOSES
+        # (12.87 vs 11.14 ms BA-only, tools/slope_ba_only.py 2026-08-20:
+        # it reads BOTH candidate and reference band slabs per grid step —
+        # 12 slab DMAs vs 6 — and serializes prologue/epilogue VPU work
+        # XLA overlaps with HBM traffic).  At 2048px/5 it WINS (61 vs
+        # 65-76 ms BA-only chunk, /tmp A/B 2026-08-21, identical scores):
+        # there the unfused flow's materialized malta stacks + diffmap
+        # intermediates dominate and fusing them away pays for the extra
+        # slab reads.  auto = probe-gated ON at >= _FUSED_EPI_MIN_SIDE.
+        if min(h, w) < _FUSED_EPI_MIN_SIDE:
+            return False
+        mode = "probe"
+    if mode == "0":
         return False
     from .pallas.malta import fused_epilogue_supported
 

@@ -153,14 +153,11 @@ def _fir_h(x, taps, r: int, cols: int, col0: int):
 # ---------------------------------------------------------------------------
 
 
-def _opsin_kernel(
-    slab_ref, recip_ref, out_ref, *, consts, taps12, tile, wp, halo
-):
+def _opsin_compute(lin, recip, write_out, *, consts, taps12, tile, wp, halo):
     r = len(taps12) // 2
-    lin = slab_ref[0, :, 0, 0]  # (3, tile + 2*halo, ctile_in)
     # Renormalized surround blur at output rows/cols.
     blur_v = _fir_v(lin, taps12, r, tile, halo)
-    blurred = _fir_h(blur_v, taps12, r, wp, halo) * recip_ref[0, 0]
+    blurred = _fir_h(blur_v, taps12, r, wp, halo) * recip
 
     center = lin[:, halo : halo + tile, halo : halo + wp]
 
@@ -193,9 +190,53 @@ def _opsin_kernel(
         gamma = gmul * fast_log2(jnp.maximum(p, 0.0) + goff) - gsub
         sens = jnp.maximum(gamma / p, 1e-4)
         xyb.append(jnp.maximum(cur_c[i] * sens, biases[i]))
-    out_ref[0, 0, 0, 0] = xyb[0] - xyb[1]
-    out_ref[0, 1, 0, 0] = xyb[0] + xyb[1]
-    out_ref[0, 2, 0, 0] = xyb[2]
+    write_out((xyb[0] - xyb[1], xyb[0] + xyb[1], xyb[2]))
+
+
+def _opsin_kernel(
+    slab_ref, recip_ref, out_ref, *, consts, taps12, tile, wp, halo
+):
+    def write_out(planes):
+        for i, v in enumerate(planes):
+            out_ref[0, i, 0, 0] = v
+
+    _opsin_compute(
+        slab_ref[0, :, 0, 0], recip_ref[0, 0], write_out,
+        consts=consts, taps12=taps12, tile=tile, wp=wp, halo=halo,
+    )
+
+
+def _opsin_kernel_dma(
+    lin_hbm, recip_ref, out_ref, slab, sem,
+    *, consts, taps12, tile, wp, halo, ctile_in,
+):
+    """DMA-input variant for wide planes (see _bands_kernel_dma): the
+    stacked restage at 2048px amplifies the input ~3.9x in HBM; the kernel
+    reads its window from ONE padded plane and writes (B, 3, hp, wcp)
+    blocks directly."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    ci = pl.program_id(2)
+    cp = pltpu.make_async_copy(
+        lin_hbm.at[
+            bi, :,
+            pl.ds(ti * tile, tile + 2 * halo),
+            pl.ds(ci * wp, ctile_in),
+        ],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    def write_out(planes):
+        for i, v in enumerate(planes):
+            out_ref[0, i] = v
+
+    _opsin_compute(
+        slab[...], recip_ref[0, 0], write_out,
+        consts=consts, taps12=taps12, tile=tile, wp=wp, halo=halo,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("consts", "interpret"))
@@ -222,16 +263,52 @@ def opsin_xyb_batch_pallas(
     nt = hp // tile
     wcp = ctile * nc
 
-    slabs = _overlap_tiles2d(
-        linear_scaled, tile, halo, hp, ctile, nc, ctile_in, w
-    )
-    # (B, 3, nt, nc, tile+2*halo, ctile_in) -> blocks (1,3,1,1,rows,ctile_in)
-
     recip = np.zeros((hp, wcp), np.float32)
     recip[:h, :w] = _recip_norm(h, w, sigma)
     recip_tiles = np.ascontiguousarray(
         recip.reshape(nt, tile, nc, ctile).transpose(0, 2, 1, 3)
     )
+    recip_spec = pl.BlockSpec(
+        (1, 1, tile, ctile),
+        lambda bi, ti, ci: (ti, ci, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    restage = __import__("os").environ.get("CODEC_EVAL_FREQSEP_RESTAGE", "auto")
+    if (nc > 1 or restage == "dma") and not interpret and restage != "stack":
+        # Wide planes: DMA the window from ONE padded plane (the stacked
+        # restage amplifies input bytes ~3.9x at tile 128); write output
+        # blocks directly in (B, 3, hp, wcp) layout.
+        pad = [(0, 0), (0, 0), (halo, hp - h + halo),
+               (halo, wcp - w + (ctile_in - ctile - 2 * halo) + halo)]
+        lin_padded = jnp.pad(linear_scaled, pad)
+        kernel = functools.partial(
+            _opsin_kernel_dma, consts=consts, taps12=taps12, tile=tile,
+            wp=ctile, halo=halo, ctile_in=ctile_in,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, nt, nc),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), recip_spec],
+            out_specs=pl.BlockSpec(
+                (1, 3, tile, ctile),
+                lambda bi, ti, ci: (bi, 0, ti, ci),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, 3, hp, wcp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((3, tile + 2 * halo, ctile_in), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(lin_padded, jnp.asarray(recip_tiles))
+        if hp != h or wcp != w:
+            out = out[:, :, :h, :w]
+        return out
+
+    slabs = _overlap_tiles2d(
+        linear_scaled, tile, halo, hp, ctile, nc, ctile_in, w
+    )
+    # (B, 3, nt, nc, tile+2*halo, ctile_in) -> blocks (1,3,1,1,rows,ctile_in)
 
     kernel = functools.partial(
         _opsin_kernel, consts=consts, taps12=taps12, tile=tile, wp=ctile,
@@ -246,11 +323,7 @@ def opsin_xyb_batch_pallas(
                 lambda bi, ti, ci: (bi, 0, ti, ci, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, 1, tile, ctile),
-                lambda bi, ti, ci: (ti, ci, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            recip_spec,
         ],
         out_specs=pl.BlockSpec(
             (1, 3, 1, 1, tile, ctile),
@@ -465,7 +538,7 @@ def bands_batch_pallas(
     ]
 
     restage = __import__("os").environ.get("CODEC_EVAL_FREQSEP_RESTAGE", "auto")
-    if nc > 1 and not interpret and restage != "stack":
+    if (nc > 1 or restage == "dma") and not interpret and restage != "stack":
         # Wide (CLIC-class) planes: the materialized overlap-slab restage
         # alone measured 8.65 ms of the 16.6 ms bands stage at 2048px/5, so
         # the kernel DMAs its window straight from ONE zero-padded plane

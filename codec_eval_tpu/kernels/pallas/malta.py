@@ -120,6 +120,47 @@ def _malta_kernel(
         add_sweep(lines_lf)
 
 
+def _malta_kernel_dma(
+    diffs_hbm, out_ref, shifted, slab, sem,
+    *, tile, wp, w, lines_full, lines_lf, slab_rows,
+):
+    """DMA-input channel-grid variant ("roll" halo only): reads its
+    (slab_rows, wp) window straight from the zero-padded full diff array in
+    HBM, skipping the materialized overlap-slab restage (~676 MB written +
+    re-read at 2048px/5 — see malta_ac_batch_pallas)."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    ch = pl.program_id(2)
+    cp = pltpu.make_async_copy(
+        diffs_hbm.at[bi, ch, pl.ds(ti * tile, slab_rows), :],
+        slab,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    _shift_slab(slab[...], shifted, wp=wp, w=w, halo="roll")
+
+    @pl.when(ch == 0)
+    def _():
+        out_ref[0, 0] = jnp.zeros((tile, wp), jnp.float32)
+        out_ref[0, 1] = jnp.zeros((tile, wp), jnp.float32)
+
+    def add_sweep(lines):
+        acc = _sweep_shifted(shifted, lines, tile)
+        is_ac1 = (ch % 2) == 0
+        out_ref[0, 0] = out_ref[0, 0] + jnp.where(is_ac1, 0.0, 1.0) * acc
+        out_ref[0, 1] = out_ref[0, 1] + jnp.where(is_ac1, 1.0, 0.0) * acc
+
+    @pl.when(ch < 2)
+    def _():
+        add_sweep(lines_full)
+
+    @pl.when(ch >= 2)
+    def _():
+        add_sweep(lines_lf)
+
+
 def _malta_kernel_fused_channels(
     slab_ref, out_ref, shifted, *, tile, wp, w, lines_full, lines_lf, halo
 ):
@@ -459,10 +500,6 @@ def malta_ac_batch_pallas(
     lane_pad = (0, wp - w) if halo == "roll" else (r, wp_in - w - r)
     pad = ((0, 0), (0, 0), (r, (hp - h) + r), lane_pad)
     diffs_p = jnp.pad(diffs, pad)
-    slabs = jnp.stack(
-        [diffs_p[:, :, i * tile : i * tile + slab_rows, :] for i in range(nt)],
-        axis=2,
-    )
 
     # Channel handling: "grid" keeps the channel as the innermost grid axis
     # (out block resident across channels); "fused" loops all six channels
@@ -478,6 +515,50 @@ def malta_ac_batch_pallas(
         # channel-grid form on CLIC-class widths.
         fits = 6 * slab_rows * wp_in * 4 <= 4 * 1024 * 1024 and wp_in <= 1024
         ch_mode = "fused" if fits else "grid"
+    restage = os.environ.get("CODEC_EVAL_MALTA_RESTAGE", "auto")
+    if (
+        ch_mode == "grid"
+        and halo == "roll"
+        and not interpret
+        and restage != "stack"
+    ):
+        # Wide (CLIC-class) widths run the channel-grid form; DMA the
+        # window from the padded diff array instead of materializing the
+        # overlap-slab restage (~676 MB written + re-read at 2048px/5).
+        kernel = functools.partial(
+            _malta_kernel_dma,
+            tile=tile,
+            wp=wp,
+            w=w,
+            lines_full=lines_full,
+            lines_lf=lines_lf,
+            slab_rows=slab_rows,
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid=(b, nt, 6),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(
+                (1, 2, tile, wp),
+                lambda bi, ti, ci: (bi, 0, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, 2, hp, wp), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((2 * r + 1, slab_rows, wp), jnp.float32),
+                pltpu.VMEM((slab_rows, wp), jnp.float32),
+                pltpu.SemaphoreType.DMA,
+            ],
+        )(diffs_p)
+        if hp != h or wp != w:
+            out = out[:, :, :h, :w]
+        return out
+
+    slabs = jnp.stack(
+        [diffs_p[:, :, i * tile : i * tile + slab_rows, :] for i in range(nt)],
+        axis=2,
+    )
+
     if ch_mode == "fused":
         kernel = functools.partial(
             _malta_kernel_fused_channels,
