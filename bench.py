@@ -765,6 +765,10 @@ def _delta_vs_prev(record: dict) -> dict | None:
                 out[pre + k] = float(v)
         return out
 
+    if prev.get("metric") != record.get("metric"):
+        # Sub-scenario run vs a full-bench artifact: "value" would compare
+        # different metrics; skip the table rather than mislead.
+        return None
     a, b = flat(prev), flat(record)
     flagged = {}
     print(f"--- delta vs {os.path.basename(prev_path)} ---", file=sys.stderr)

@@ -100,6 +100,12 @@ _MM_BANDED_MIN_BLOCKS = int(
     os.environ.get("CODEC_EVAL_BLUR_MM_BANDED_MIN_BLOCKS", "8")
 )
 
+#: Same switch for the pair-mean downscale's block form, in 256-column
+#: input blocks (so the default matches the blur gate's >=1024px width).
+_DOWNSCALE_BANDED_MIN_BLOCKS = int(
+    os.environ.get("CODEC_EVAL_DOWNSCALE_BANDED_MIN_BLOCKS", "4")
+)
+
 
 @functools.lru_cache(maxsize=None)
 def _block_banded_operator(n: int, sigma: float) -> np.ndarray:
@@ -289,7 +295,7 @@ def downscale_by_2(planes: jnp.ndarray) -> jnp.ndarray:
         rows = 0.5 * (planes[:, 0::2, :] + planes[:, 1::2, :])
         return 0.5 * (rows[:, :, 0::2] + rows[:, :, 1::2])
     if _use_matmul_downscale():
-        if w2 % 256 == 0 and w2 // 256 >= _MM_BANDED_MIN_BLOCKS // 2:
+        if w2 % 256 == 0 and w2 // 256 >= _DOWNSCALE_BANDED_MIN_BLOCKS:
             # Block form: every 128-column output block draws only from its
             # own 256-column input block, so ONE fixed (256, 128) pair-mean
             # operator contracts per block — 16x fewer MXU FLOPs than the
