@@ -471,32 +471,43 @@ def run_large_scenario(jax, jnp) -> dict:
     chunk = int(__import__("os").environ.get("CODEC_EVAL_BENCH_LARGE_CHUNK", "5"))
     n_cand = len(LARGE_QUALITIES)
     n_chunks = n_cand // chunk
-    ref = _photo(LARGE_SIZE, LARGE_SIZE, 900)
+    # Three distinct reference images per timed window: a 1-image window
+    # pays its single result-fetch RTT (~25 ms on this tunnel) over only
+    # 10 pairs — ~11% of the measurement, where the CID22/CLIC production
+    # pattern amortizes fetches over the whole corpus (same convention as
+    # the 512px sweep scenario's 8-image window).
+    n_img = 3
+    refs = [_photo(LARGE_SIZE, LARGE_SIZE, 900 + i) for i in range(n_img)]
     codecs = _sweep_codecs()
 
     def encode_ladder(r, fn):
         return np.stack([fn(r, q) for q in LARGE_QUALITIES])
 
     with ThreadPoolExecutor(max_workers=4) as pool:
-        batch = pool.submit(encode_ladder, ref, codecs["jpeg-420"]).result()
+        batches = list(
+            pool.map(lambda r: encode_ladder(r, codecs["jpeg-420"]), refs)
+        )
 
     scorer = _build_chunk_scorer(
         LARGE_SIZE, LARGE_SIZE, chunk, True, True, True, True, planar=True
     )
     pre = _build_precompute(LARGE_SIZE, LARGE_SIZE, True, True, True, False)
-    ref_dev = jax.block_until_ready(jnp.asarray(ref))
-    chunks = [
-        jnp.asarray(
-            np.ascontiguousarray(
-                np.moveaxis(batch[c * chunk : (c + 1) * chunk], -1, 1)
+    refs_dev = [jax.block_until_ready(jnp.asarray(r)) for r in refs]
+    img_chunks = [
+        [
+            jnp.asarray(
+                np.ascontiguousarray(
+                    np.moveaxis(batch[c * chunk : (c + 1) * chunk], -1, 1)
+                )
             )
-        )
-        for c in range(n_chunks)
+            for c in range(n_chunks)
+        ]
+        for batch in batches
     ]
-    jax.block_until_ready(chunks)
-    _ = np.asarray(chunks[-1][0, 0, 0, :1])  # drain transfer stream
+    jax.block_until_ready(img_chunks)
+    _ = np.asarray(img_chunks[-1][-1][0, 0, 0, :1])  # drain transfer stream
 
-    warm = scorer(pre(ref_dev), chunks[0])
+    warm = scorer(pre(refs_dev[0]), img_chunks[0][0])
     warm_np = {k: np.asarray(v) for k, v in warm.items()}
     assert all(np.isfinite(v).all() for v in warm_np.values()), warm_np
 
@@ -504,14 +515,19 @@ def run_large_scenario(jax, jnp) -> dict:
     reps = 3
     for rep in range(reps):
         # Fresh bits per rep (remote memoization; see module notes).
-        chunks = [c.at[0, rep, 0, 0].add(1) for c in chunks]
-        jax.block_until_ready(chunks)
+        img_chunks = [
+            [c.at[0, rep, 0, 0].add(1) for c in per_img]
+            for per_img in img_chunks
+        ]
+        jax.block_until_ready(img_chunks)
         t0 = time.perf_counter()
-        p = pre(ref_dev)
-        outs = [scorer(p, c) for c in chunks]
+        outs = []
+        for i in range(n_img):
+            p = pre(refs_dev[i])
+            outs.extend(scorer(p, c) for c in img_chunks[i])
         _ = np.asarray(next(iter(outs[-1].values()))[0])
         best = min(best, time.perf_counter() - t0)
-    pairs_2048 = n_cand / best
+    pairs_2048 = n_img * n_cand / best
 
     # Mixed-size masked buckets (512/800/2048 in ONE corpus run) through the
     # production sharded runner — wall-clock includes staging, one device.

@@ -346,10 +346,9 @@ _BLUR_PALLAS_MAX_TAPS = int(
 )
 
 
-def _blur_batch(planes4: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """(B, C, H, W) batched renormalized blur for the scoring hot paths."""
+def _blur_batch_impl(h: int, w: int, sigma: float) -> str:
+    """Resolve the batched-blur route ("pallas" or "xla") for this plane."""
     impl = BLUR_BATCH_IMPL
-    h, w = planes4.shape[-2], planes4.shape[-1]
     if impl == "auto":
         ntaps = 2 * max(1, int(2.25 * sigma)) + 1
         impl = (
@@ -359,7 +358,13 @@ def _blur_batch(planes4: jnp.ndarray, sigma: float) -> jnp.ndarray:
             and ntaps <= _BLUR_PALLAS_MAX_TAPS
             else "xla"
         )
-    if impl == "pallas":
+    return impl
+
+
+def _blur_batch(planes4: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """(B, C, H, W) batched renormalized blur for the scoring hot paths."""
+    h, w = planes4.shape[-2], planes4.shape[-1]
+    if _blur_batch_impl(h, w, sigma) == "pallas":
         from .pallas.blur import blur_batch_pallas
 
         return blur_batch_pallas(planes4, sigma)
@@ -1012,14 +1017,19 @@ def _mask_diff_ac_batch(pi1_batch: "PsychoImage", b0: jnp.ndarray) -> jnp.ndarra
         return mask_diff_ac_batch_pallas(
             d1, b0, _MASK_DIFF_AC_MUL, sigma=SIGMA_MASK
         )
-    # Batched sigma-2.7 blur: same math as the vmapped _mask_candidate_side,
-    # with the blur routed through _blur_batch so large planes can use the
-    # Pallas FIR kernel instead of the HBM-bound banded matmuls.
-    d1 = jax.vmap(
-        lambda pi1: _diff_precompute(_combine_channels_for_masking(pi1))
-    )(pi1_batch)
-    b1 = _blur_batch(d1[:, None], SIGMA_MASK)[:, 0]
-    return _MASK_DIFF_AC_MUL * (b0 - b1) * (b0 - b1)
+    # Large planes: batched sigma-2.7 blur through the Pallas FIR kernel
+    # (same math; measured 1.5-1.8x vs the banded matmuls at 2048px).  When
+    # the router resolves to XLA, keep the historical vmapped composition —
+    # tests pin it bit-identical to per-candidate _mask_candidate_side, and
+    # the batched einsum shape would perturb accumulation by ~6e-7.
+    h, w = b0.shape[-2], b0.shape[-1]
+    if _blur_batch_impl(h, w, SIGMA_MASK) == "pallas":
+        d1 = jax.vmap(
+            lambda pi1: _diff_precompute(_combine_channels_for_masking(pi1))
+        )(pi1_batch)
+        b1 = _blur_batch(d1[:, None], SIGMA_MASK)[:, 0]
+        return _MASK_DIFF_AC_MUL * (b0 - b1) * (b0 - b1)
+    return jax.vmap(lambda pi1: _mask_candidate_side(b0, pi1))(pi1_batch)
 
 
 def _mask_psycho_image(

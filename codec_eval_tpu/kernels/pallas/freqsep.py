@@ -148,6 +148,47 @@ def _fir_h(x, taps, r: int, cols: int, col0: int):
     return out
 
 
+def _window_dma_db(hbm, slab2, sems, *, tile, halo, ctile, ctile_in, nt, nc):
+    """Double-buffered (tile + 2*halo, ctile_in) window reads over a
+    (b, nt, nc) grid: start the NEXT step's copy before computing this
+    step's window, so the per-step DMA latency overlaps compute (the same
+    slot/semaphore pattern as pallas/scale_features.py).  Returns this
+    step's (C, rows, ctile_in) window value."""
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    ci = pl.program_id(2)
+    k = (bi * nt + ti) * nc + ci
+    total = pl.num_programs(0) * nt * nc
+    slot = jax.lax.rem(k, 2)
+    nxt = jax.lax.rem(k + 1, 2)
+
+    def copy(kk, slot_idx):
+        bb = jax.lax.div(kk, nt * nc)
+        rest = jax.lax.rem(kk, nt * nc)
+        tt = jax.lax.div(rest, nc)
+        cc = jax.lax.rem(rest, nc)
+        return pltpu.make_async_copy(
+            hbm.at[
+                bb, :,
+                pl.ds(tt * tile, tile + 2 * halo),
+                pl.ds(cc * ctile, ctile_in),
+            ],
+            slab2.at[slot_idx],
+            sems.at[slot_idx],
+        )
+
+    @pl.when(k == 0)
+    def _():
+        copy(k, slot).start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        copy(k + 1, nxt).start()
+
+    copy(k, slot).wait()
+    return slab2[slot]
+
+
 # ---------------------------------------------------------------------------
 # K1: opsin dynamics.
 # ---------------------------------------------------------------------------
@@ -207,34 +248,24 @@ def _opsin_kernel(
 
 
 def _opsin_kernel_dma(
-    lin_hbm, recip_ref, out_ref, slab, sem,
-    *, consts, taps12, tile, wp, halo, ctile_in,
+    lin_hbm, recip_ref, out_ref, slab2, sems,
+    *, consts, taps12, tile, wp, halo, ctile_in, nt, nc,
 ):
     """DMA-input variant for wide planes (see _bands_kernel_dma): the
     stacked restage at 2048px amplifies the input ~3.9x in HBM; the kernel
-    reads its window from ONE padded plane and writes (B, 3, hp, wcp)
-    blocks directly."""
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-    ci = pl.program_id(2)
-    cp = pltpu.make_async_copy(
-        lin_hbm.at[
-            bi, :,
-            pl.ds(ti * tile, tile + 2 * halo),
-            pl.ds(ci * wp, ctile_in),
-        ],
-        slab,
-        sem,
+    reads its window from ONE padded plane (double-buffered) and writes
+    (B, 3, hp, wcp) blocks directly."""
+    lin = _window_dma_db(
+        lin_hbm, slab2, sems, tile=tile, halo=halo, ctile=wp,
+        ctile_in=ctile_in, nt=nt, nc=nc,
     )
-    cp.start()
-    cp.wait()
 
     def write_out(planes):
         for i, v in enumerate(planes):
             out_ref[0, i] = v
 
     _opsin_compute(
-        slab[...], recip_ref[0, 0], write_out,
+        lin, recip_ref[0, 0], write_out,
         consts=consts, taps12=taps12, tile=tile, wp=wp, halo=halo,
     )
 
@@ -284,7 +315,7 @@ def opsin_xyb_batch_pallas(
         lin_padded = jnp.pad(linear_scaled, pad)
         kernel = functools.partial(
             _opsin_kernel_dma, consts=consts, taps12=taps12, tile=tile,
-            wp=ctile, halo=halo, ctile_in=ctile_in,
+            wp=ctile, halo=halo, ctile_in=ctile_in, nt=nt, nc=nc,
         )
         out = pl.pallas_call(
             kernel,
@@ -297,8 +328,8 @@ def opsin_xyb_batch_pallas(
             ),
             out_shape=jax.ShapeDtypeStruct((b, 3, hp, wcp), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((3, tile + 2 * halo, ctile_in), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 3, tile + 2 * halo, ctile_in), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )(lin_padded, jnp.asarray(recip_tiles))
         if hp != h or wcp != w:
@@ -425,8 +456,8 @@ def _bands_kernel(
 
 
 def _bands_kernel_dma(
-    mfp_hbm, recip332_ref, recip156_ref, out_ref, slab, sem,
-    *, consts, taps332, taps156, tile, wp, halo, ctile_in,
+    mfp_hbm, recip332_ref, recip156_ref, out_ref, slab2, sems,
+    *, consts, taps332, taps156, tile, wp, halo, ctile_in, nt, nc,
 ):
     """DMA-input variant: reads its (tile + 2*halo, ctile_in) window
     straight from the zero-padded full plane in HBM, skipping the
@@ -434,27 +465,17 @@ def _bands_kernel_dma(
     16.6 ms bands stage at 2048px/5 — tools session 2026-08-21), and
     writes output blocks directly in (B, 7, hp, wcp) layout (no moveaxis/
     reshape pass)."""
-    bi = pl.program_id(0)
-    ti = pl.program_id(1)
-    ci = pl.program_id(2)
-    cp = pltpu.make_async_copy(
-        mfp_hbm.at[
-            bi, :,
-            pl.ds(ti * tile, tile + 2 * halo),
-            pl.ds(ci * wp, ctile_in),
-        ],
-        slab,
-        sem,
+    mf_pre = _window_dma_db(
+        mfp_hbm, slab2, sems, tile=tile, halo=halo, ctile=wp,
+        ctile_in=ctile_in, nt=nt, nc=nc,
     )
-    cp.start()
-    cp.wait()
 
     def write_out(bands):
         for i, b in enumerate(bands):
             out_ref[0, i] = b
 
     _bands_compute(
-        slab[...], recip332_ref[0, 0], recip156_ref[0, 0], write_out,
+        mf_pre, recip332_ref[0, 0], recip156_ref[0, 0], write_out,
         consts=consts, taps332=taps332, taps156=taps156,
         tile=tile, wp=wp, halo=halo,
     )
@@ -549,7 +570,7 @@ def bands_batch_pallas(
         kernel = functools.partial(
             _bands_kernel_dma, consts=consts, taps332=taps332,
             taps156=taps156, tile=tile, wp=ctile, halo=halo,
-            ctile_in=ctile_in,
+            ctile_in=ctile_in, nt=nt, nc=nc,
         )
         out = pl.pallas_call(
             kernel,
@@ -565,8 +586,8 @@ def bands_batch_pallas(
             ),
             out_shape=jax.ShapeDtypeStruct((b, 7, hp, wcp), jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((3, tile + 2 * halo, ctile_in), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, 3, tile + 2 * halo, ctile_in), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )(mfp_padded, jnp.asarray(r332_tiles), jnp.asarray(r156_tiles))
         if hp != h or wcp != w:

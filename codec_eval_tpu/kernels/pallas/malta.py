@@ -121,25 +121,45 @@ def _malta_kernel(
 
 
 def _malta_kernel_dma(
-    diffs_hbm, out_ref, shifted, slab, sem,
-    *, tile, wp, w, lines_full, lines_lf, slab_rows,
+    diffs_hbm, out_ref, shifted, slab2, sems,
+    *, tile, wp, w, lines_full, lines_lf, slab_rows, nt,
 ):
     """DMA-input channel-grid variant ("roll" halo only): reads its
     (slab_rows, wp) window straight from the zero-padded full diff array in
     HBM, skipping the materialized overlap-slab restage (~676 MB written +
-    re-read at 2048px/5 — see malta_ac_batch_pallas)."""
+    re-read at 2048px/5 — see malta_ac_batch_pallas).  Double-buffered:
+    the next (batch, tile, channel) window's copy starts before this
+    step's sweeps run."""
     bi = pl.program_id(0)
     ti = pl.program_id(1)
     ch = pl.program_id(2)
-    cp = pltpu.make_async_copy(
-        diffs_hbm.at[bi, ch, pl.ds(ti * tile, slab_rows), :],
-        slab,
-        sem,
-    )
-    cp.start()
-    cp.wait()
+    k = (bi * nt + ti) * 6 + ch
+    total = pl.num_programs(0) * nt * 6
+    slot = jax.lax.rem(k, 2)
+    nxt = jax.lax.rem(k + 1, 2)
 
-    _shift_slab(slab[...], shifted, wp=wp, w=w, halo="roll")
+    def copy(kk, slot_idx):
+        bb = jax.lax.div(kk, nt * 6)
+        rest = jax.lax.rem(kk, nt * 6)
+        tt = jax.lax.div(rest, 6)
+        cc = jax.lax.rem(rest, 6)
+        return pltpu.make_async_copy(
+            diffs_hbm.at[bb, cc, pl.ds(tt * tile, slab_rows), :],
+            slab2.at[slot_idx],
+            sems.at[slot_idx],
+        )
+
+    @pl.when(k == 0)
+    def _():
+        copy(k, slot).start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        copy(k + 1, nxt).start()
+
+    copy(k, slot).wait()
+
+    _shift_slab(slab2[slot], shifted, wp=wp, w=w, halo="roll")
 
     @pl.when(ch == 0)
     def _():
@@ -533,6 +553,7 @@ def malta_ac_batch_pallas(
             lines_full=lines_full,
             lines_lf=lines_lf,
             slab_rows=slab_rows,
+            nt=nt,
         )
         out = pl.pallas_call(
             kernel,
@@ -546,8 +567,8 @@ def malta_ac_batch_pallas(
             out_shape=jax.ShapeDtypeStruct((b, 2, hp, wp), jnp.float32),
             scratch_shapes=[
                 pltpu.VMEM((2 * r + 1, slab_rows, wp), jnp.float32),
-                pltpu.VMEM((slab_rows, wp), jnp.float32),
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, slab_rows, wp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         )(diffs_p)
         if hp != h or wp != w:
