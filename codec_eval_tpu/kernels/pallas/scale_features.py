@@ -422,9 +422,13 @@ def scale_features_pallas_batch(
     tile = min(TILE_H_MM if use_mm else TILE_H, ((h + 7) // 8) * 8)
     # Width-scaled row tile: the per-step scoped-VMEM footprint grows
     # linearly with the lane extent; keep (tile x padded width) at or
-    # under its 512px-proven budget so 2048px images fit (VERDICT r2 #3).
+    # under the proven budget so 2048px images fit (VERDICT r2 #3).  The
+    # budget is env-tunable: the 96*512 original shrank the tile to 24 at
+    # 2048px (1.67x row-halo amplification); 48 compiles and measures
+    # faster there (see ROADMAP round 5).
     _wp_est = ((w + 127) // 128) * 128
-    while tile > 8 and tile * _wp_est > 96 * 512:
+    _budget = int(os.environ.get("CODEC_EVAL_SSIM2_TILE_BUDGET", str(96 * 1024)))
+    while tile > 8 and tile * _wp_est > _budget:
         tile //= 2
     hp = ((h + tile - 1) // tile) * tile
     slab_rows = ((tile + 2 * r + 7) // 8) * 8
