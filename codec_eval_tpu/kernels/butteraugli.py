@@ -774,7 +774,7 @@ def _fused_diffmap_ok(h: int, w: int, hf_asymmetry, xmul) -> bool:
         # it reads BOTH candidate and reference band slabs per grid step —
         # 12 slab DMAs vs 6 — and serializes prologue/epilogue VPU work
         # XLA overlaps with HBM traffic).  At 2048px/5 it WINS (61 vs
-        # 65-76 ms BA-only chunk, /tmp A/B 2026-08-21, identical scores):
+        # 65-76 ms BA-only chunk, tools/experiment_fused_epi_2048.py, identical scores):
         # there the unfused flow's materialized malta stacks + diffmap
         # intermediates dominate and fusing them away pays for the extra
         # slab reads.  auto = probe-gated ON at >= _FUSED_EPI_MIN_SIDE.
